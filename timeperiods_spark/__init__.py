@@ -1,0 +1,32 @@
+"""timeperiods_spark — a PySpark-native time-weighted rollup engine.
+
+From-scratch reimplementation of the query semantics of
+kaufman-lab/timeperiods (reference at /root/reference, R/data.table) as
+idiomatic Spark DataFrame operators, generalized to web scale:
+range-join + hash-aggregate overlap averaging, interval decomposition,
+regular-grid tier rollups, gap-fill/LOCF, Gorilla compression of
+per-period series, and retention-tiered continuous aggregates.
+"""
+
+from .errors import (
+    DuplicateIntervalError,
+    IntervalValidationError,
+    OverlapError,
+    RoleValidationError,
+    TimeperiodsError,
+)
+from .operators.interval_avg import RESERVED_OUTPUT_NAMES, interval_weighted_avg
+from .session import get_spark
+
+__all__ = [
+    "interval_weighted_avg",
+    "get_spark",
+    "RESERVED_OUTPUT_NAMES",
+    "TimeperiodsError",
+    "RoleValidationError",
+    "IntervalValidationError",
+    "DuplicateIntervalError",
+    "OverlapError",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,361 @@
+"""Overlap-weighted interval averaging — the engine's core operator.
+
+Semantics reproduce ``interval_weighted_avg_f`` from the reference
+(/root/reference/timeperiod_functions.R:117-354; output contract
+README.md:74-110): measurements ``x`` are values averaged over closed
+integer/date intervals, non-overlapping within group combinations;
+target periods ``y`` are arbitrary (possibly overlapping, possibly
+non-aligned) intervals; the output has exactly one row per distinct
+``(group, y-interval)`` carrying the overlap-duration-weighted mean of
+each value column plus coverage metadata (yduration, xduration,
+nobs_<v>, xminstart, xmaxend) and a ``required_percentage`` coverage
+mask.
+
+The implementation is Spark-first, NOT a port: the reference's
+``foverlaps`` binary-search join + GForce group-by become a
+range-join (with a selectable physical strategy, see
+:mod:`timeperiods_spark.plans.strategy`) followed by a hash aggregate
+that Catalyst executes with partial (map-side) + final aggregation and
+whole-stage codegen. All expressions are native ``pyspark.sql.functions``
+— no Python UDFs anywhere on this path.
+
+Closed-interval arithmetic: a unit difference is the smallest observable
+increment; duration = end - start + 1 (reference
+timeperiod_functions.R:83, :265, :334).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..errors import (
+    DuplicateIntervalError,
+    IntervalValidationError,
+    OverlapError,
+    RoleValidationError,
+)
+from ..plans.strategy import build_overlap_pairs
+
+#: Output column names reserved by the operator
+#: (reference timeperiod_functions.R:126-130).
+RESERVED_OUTPUT_NAMES = ("yduration", "xduration", "xminstart", "xmaxend")
+
+_EPOCH = "1970-01-01"
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _is_intervalish(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _INT_TYPES) or isinstance(dtype, T.DateType)
+
+
+def _grid(colname: str, dtype: T.DataType) -> Column:
+    """Normalize an interval endpoint to long grid units.
+
+    Dates become day counts since 1970-01-01 (the reference treats Date
+    as its integer day count, timeperiod_functions.R:52, :491-494)."""
+    c = F.col(colname)
+    if isinstance(dtype, T.DateType):
+        return F.datediff(c, F.lit(_EPOCH).cast("date")).cast("long")
+    return c.cast("long")
+
+
+def _ungrid(col: Column, dtype: T.DataType) -> Column:
+    """Restore a long grid value to the user-facing endpoint type."""
+    if isinstance(dtype, T.DateType):
+        return F.date_add(F.lit(_EPOCH).cast("date"), col.cast("int"))
+    return col.cast(dtype)
+
+
+def _validate_roles(
+    x: DataFrame,
+    y: DataFrame,
+    interval_vars: Sequence[str],
+    value_vars: Sequence[str],
+    group_vars: Sequence[str],
+) -> T.DataType:
+    """Schema-only validation (no Spark action). Returns the interval dtype.
+
+    Mirrors the reference's checks at timeperiod_functions.R:126-187
+    (reserved names, column existence, role disjointness, endpoint types).
+    """
+    if len(interval_vars) != 2:
+        raise RoleValidationError("interval_vars must name exactly (start, end)")
+    if not value_vars:
+        raise RoleValidationError("value_vars must name at least one column")
+    roles = list(interval_vars) + list(value_vars) + list(group_vars)
+    reserved = [c for c in roles if c in RESERVED_OUTPUT_NAMES]
+    if reserved:
+        raise RoleValidationError(
+            f"column(s) {reserved} are reserved for the output "
+            f"(yduration/xduration/xminstart/xmaxend); rename them"
+        )
+    for name, need, df in (
+        ("x", list(group_vars) + list(interval_vars) + list(value_vars), x),
+        ("y", list(group_vars) + list(interval_vars), y),
+    ):
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise RoleValidationError(f"columns {missing} not present in {name}")
+    if len(set(roles)) != len(roles):
+        raise RoleValidationError(
+            "interval_vars, value_vars and group_vars must be pairwise disjoint"
+        )
+    xf = dict(zip(x.schema.names, [f.dataType for f in x.schema.fields]))
+    yf = dict(zip(y.schema.names, [f.dataType for f in y.schema.fields]))
+    xs_t, xe_t = xf[interval_vars[0]], xf[interval_vars[1]]
+    ys_t, ye_t = yf[interval_vars[0]], yf[interval_vars[1]]
+    for t, where in ((xs_t, "x"), (xe_t, "x"), (ys_t, "y"), (ye_t, "y")):
+        if not _is_intervalish(t):
+            raise IntervalValidationError(
+                f"interval_vars in {where} must be integer or date, got {t.simpleString()}"
+            )
+    x_is_date = isinstance(xs_t, T.DateType)
+    if x_is_date != isinstance(xe_t, T.DateType) or x_is_date != isinstance(
+        ys_t, T.DateType
+    ) or x_is_date != isinstance(ye_t, T.DateType):
+        raise IntervalValidationError(
+            "interval_vars must be the same class (all integer or all date) in x and y"
+        )
+    return xs_t
+
+
+def _check_x_integrity(
+    xw: DataFrame, n_groups: int, skip_overlap_check: bool
+) -> None:
+    """One-pass eager integrity check over the measurement table.
+
+    Replaces the reference's O(n log n) self-``foverlaps`` assertion
+    (timeperiod_functions.R:216) with a window scan: within each group,
+    sorted by (start, end), an interval overlaps some predecessor iff
+    its start <= running max of previous ends (closed intervals, so a
+    shared endpoint counts). Exact duplicates (hard error,
+    timeperiod_functions.R:198-202) ride along in the same single job.
+    """
+    from pyspark.sql import Window
+
+    gcols = [f"__g{i}" for i in range(n_groups)]
+    w = Window.partitionBy(*gcols).orderBy("__xs", "__xe") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("__xs", "__xe")
+    )
+    prev_max_end = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    prev_s = F.lag("__xs").over(w)
+    prev_e = F.lag("__xe").over(w)
+    flags = xw.select(
+        F.col("__xs").isNull().alias("null_s"),
+        F.col("__xe").isNull().alias("null_e"),
+        (F.col("__xe") < F.col("__xs")).alias("rev"),
+        (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
+        (F.col("__xs") <= prev_max_end).alias("ovl"),
+    )
+    row = flags.agg(
+        F.sum(F.when(F.col("null_s") | F.col("null_e"), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
+        F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
+    ).first()
+    if row is None:
+        return
+    if (row["nulls"] or 0) > 0:
+        raise IntervalValidationError(
+            "interval_vars columns cannot be NULL in x (reference "
+            "timeperiod_functions.R:154-160)"
+        )
+    if (row["rev"] or 0) > 0:
+        raise IntervalValidationError(
+            "x has intervals with end < start; interval_vars must be "
+            "(start, end) of increasing intervals"
+        )
+    if (row["dup"] or 0) > 0:
+        raise DuplicateIntervalError(
+            "duplicate (group, start, end) intervals in x; average them "
+            "together first (reference timeperiod_functions.R:198-202)"
+        )
+    if not skip_overlap_check and (row["ovl"] or 0) > 0:
+        raise OverlapError(
+            "overlapping intervals within groups of x (closed intervals: "
+            "a shared endpoint is an overlap). Decompose with "
+            "remove_overlaps() first."
+        )
+
+
+def _check_y_intervals(yw: DataFrame) -> None:
+    row = yw.agg(
+        F.sum(
+            F.when(F.col("__ys").isNull() | F.col("__ye").isNull(), 1).otherwise(0)
+        ).alias("nulls"),
+        F.sum(F.when(F.col("__ye") < F.col("__ys"), 1).otherwise(0)).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+        # struct-wrap: count_distinct over bare columns drops rows where
+        # ANY column is NULL, but NULL group keys are legal (tests.R:564-580)
+        F.count_distinct(F.struct(*[F.col(c) for c in yw.columns])).alias("nd"),
+    ).first()
+    if row is None:
+        return
+    if (row["nulls"] or 0) > 0:
+        raise IntervalValidationError("interval_vars columns cannot be NULL in y")
+    if (row["rev"] or 0) > 0:
+        raise IntervalValidationError("y has intervals with end < start")
+    if row["n"] != row["nd"]:
+        warnings.warn(
+            "duplicate (group, start, end) rows in y; deduplicating "
+            "(reference timeperiod_functions.R:205-211)",
+            stacklevel=3,
+        )
+
+
+def interval_weighted_avg(
+    x: DataFrame,
+    y: DataFrame,
+    interval_vars: Sequence[str],
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    required_percentage: float = 100.0,
+    skip_overlap_check: bool = False,
+    *,
+    validate: bool = True,
+    assume_y_distinct: bool = False,
+    join_strategy: str = "auto",
+    bin_width: Optional[int] = None,
+    skew_salt: Optional[int] = None,
+) -> DataFrame:
+    """Average interval-measured values onto an arbitrary period schedule.
+
+    Parameters mirror the reference API (timeperiod_functions.R:117-120);
+    the keyword-only extras are scale controls with no semantic effect:
+
+    - ``validate=False`` skips every eager (action-triggering) integrity
+      check — for production pipelines over pre-validated data. The
+      reference's equivalent is ``skip_overlap_check`` but at 100 TB the
+      duplicate/NULL checks are equally worth skipping once enforced
+      upstream.
+    - ``assume_y_distinct=True`` skips the y deduplication shuffle.
+    - ``join_strategy``/``bin_width``/``skew_salt`` select the physical
+      range-join plan (see plans.strategy.build_overlap_pairs).
+
+    Returns one row per distinct (group, y-interval):
+    ``group_vars…, interval_vars…, value_vars… (weighted means, masked
+    NULL below required_percentage coverage), yduration, xduration,
+    nobs_<v>…, xminstart, xmaxend`` (reference output contract
+    timeperiod_functions.R:345-347, README.md:74-110).
+    """
+    group_vars = list(group_vars or [])
+    ivl_dtype = _validate_roles(x, y, interval_vars, value_vars, group_vars)
+    n_g, n_v = len(group_vars), len(value_vars)
+    gcols = [f"__g{i}" for i in range(n_g)]
+    ygcols = [f"__yg{i}" for i in range(n_g)]
+    vcols = [f"__v{i}" for i in range(n_v)]
+
+    xf = {f.name: f.dataType for f in x.schema.fields}
+    # Canonical internal frames: collision-free, side-disjoint names,
+    # long grid units. (The reference renames to placeholder g*/v*/i*
+    # names for the same reason, timeperiod_functions.R:229-232, 252-255.)
+    xw = x.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
+        _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
+        _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
+        *[F.col(v).cast("double").alias(vc) for v, vc in zip(value_vars, vcols)],
+    )
+    yf = {f.name: f.dataType for f in y.schema.fields}
+    yw = y.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, ygcols)],
+        _grid(interval_vars[0], yf[interval_vars[0]]).alias("__ys"),
+        _grid(interval_vars[1], yf[interval_vars[1]]).alias("__ye"),
+    )
+
+    if validate:
+        _check_y_intervals(yw)
+        _check_x_integrity(xw, n_g, skip_overlap_check)
+
+    yd = yw if assume_y_distinct else yw.dropDuplicates(ygcols + ["__ys", "__ye"])
+
+    # --- pair stage: every (y period, x interval) overlap, inner ---
+    pairs = build_overlap_pairs(
+        xw,
+        yd,
+        n_g,
+        strategy=join_strategy,
+        bin_width=bin_width,
+        skew_salt=skew_salt,
+    )
+
+    # clip (O3), weight (O4), per-value weights/products (O5, O6)
+    cs = F.greatest("__xs", "__ys")
+    ce = F.least("__xe", "__ye")
+    dur = (ce - cs + F.lit(1)).alias("__dur")
+    enriched = pairs.select(
+        *ygcols,
+        "__ys",
+        "__ye",
+        cs.alias("__cs"),
+        ce.alias("__ce"),
+        dur,
+        *vcols,
+    ).select(
+        *ygcols,
+        "__ys",
+        "__ye",
+        "__cs",
+        "__ce",
+        "__dur",
+        *[
+            F.when(F.col(vc).isNotNull(), F.col("__dur")).otherwise(F.lit(0)).alias(f"__nm{i}")
+            for i, vc in enumerate(vcols)
+        ],
+        *[(F.col(vc) * F.col("__dur")).alias(f"__p{i}") for i, vc in enumerate(vcols)],
+    )
+
+    # grouped hash aggregation (O7) — partial+final, whole-stage codegen
+    agg = enriched.groupBy(*ygcols, "__ys", "__ye").agg(
+        F.sum("__dur").alias("__xdur"),
+        *[F.sum(f"__nm{i}").alias(f"__nobs{i}") for i in range(n_v)],
+        *[F.sum(f"__p{i}").alias(f"__sp{i}") for i in range(n_v)],
+        F.min("__cs").alias("__minstart"),
+        F.max("__ce").alias("__maxend"),
+    )
+
+    # completion join (O10): every deduped y row survives, zero-filled.
+    # The agg side is keyed identically; rename to avoid ambiguity.
+    agg_r = agg.select(
+        *[F.col(g).alias(f"__a{g}") for g in ygcols],
+        F.col("__ys").alias("__as"),
+        F.col("__ye").alias("__ae"),
+        "__xdur",
+        *[F.col(f"__nobs{i}") for i in range(n_v)],
+        *[F.col(f"__sp{i}") for i in range(n_v)],
+        "__minstart",
+        "__maxend",
+    )
+    cond = (F.col("__ys") == F.col("__as")) & (F.col("__ye") == F.col("__ae"))
+    for g in ygcols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__a{g}"))
+    joined = yd.join(agg_r, cond, "left")
+
+    ydur = (F.col("__ye") - F.col("__ys") + F.lit(1)).cast("double")
+    xdur = F.coalesce(F.col("__xdur"), F.lit(0)).cast("long")
+    req = F.lit(float(required_percentage))
+
+    out_cols: list[Column] = []
+    for g, orig in zip(ygcols, group_vars):
+        out_cols.append(F.col(g).alias(orig))
+    out_cols.append(_ungrid(F.col("__ys"), ivl_dtype).alias(interval_vars[0]))
+    out_cols.append(_ungrid(F.col("__ye"), ivl_dtype).alias(interval_vars[1]))
+    for i, v in enumerate(value_vars):
+        nobs = F.coalesce(F.col(f"__nobs{i}"), F.lit(0))
+        mean = F.col(f"__sp{i}") / nobs  # 0/0 and NULL/0 → NULL (R NaN→NULL)
+        masked = F.when(F.lit(100.0) * nobs / ydur < req, F.lit(None)).otherwise(mean)
+        out_cols.append(masked.cast("double").alias(v))
+    out_cols.append(ydur.alias("yduration"))
+    out_cols.append(xdur.alias("xduration"))
+    for i, v in enumerate(value_vars):
+        out_cols.append(
+            F.coalesce(F.col(f"__nobs{i}"), F.lit(0)).cast("long").alias(f"nobs_{v}")
+        )
+    out_cols.append(_ungrid(F.col("__minstart"), ivl_dtype).alias("xminstart"))
+    out_cols.append(_ungrid(F.col("__maxend"), ivl_dtype).alias("xmaxend"))
+
+    return joined.select(*out_cols)

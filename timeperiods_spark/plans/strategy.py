@@ -1,0 +1,158 @@
+"""Physical strategies for the interval overlap (range) join.
+
+The reference gets its range join from data.table's binary-search
+``foverlaps`` (/root/reference/timeperiod_functions.R:239-240;
+README.md:199-209). OSS Catalyst has no native interval join: a pure
+theta join plans as BroadcastNestedLoopJoin or a cartesian product, both
+of which die at scale. This module rewrites the join at the API level —
+no custom Catalyst rules — into one of four shapes:
+
+``group_equi``
+    Equi join on null-safe group keys with the range predicate applied
+    as a join condition. Catalyst extracts the null-safe equalities as
+    hash/sort-merge join keys, so the fan-out is bounded per group. The
+    right default whenever group keys are selective (panel data).
+
+``broadcast_y`` / ``broadcast_x``
+    Same condition with the small side broadcast — the fast path when
+    the period schedule (or the measurement set) fits on every executor,
+    e.g. hourly/daily/weekly retention scaffolds.
+
+``bin``
+    Bucketized range join for the ungrouped / huge-group case (the
+    10^12-sequence token table where one ``source`` is a single logical
+    stream): explode each interval to the fixed-width time bins it
+    touches, equi-join on (group, bin), re-check exact overlap, and keep
+    each pair only in the FIRST bin the two intervals share
+    (``bin == floor(max(x.start, y.start) / W)``) so no post-join
+    deduplication is needed — the row-count invariant of SURVEY.md §4.4
+    survives the fan-out by construction. Shuffle keys become
+    (group, bin[, salt]), which partitions evenly and is skew-saltable.
+
+``auto``
+    group_equi when group keys exist, else bin (width estimated from a
+    sample of interval lengths when not given).
+
+All null handling is null-safe (``eqNullSafe``): NULL group values are
+legal join keys, matching data.table's NA-matching keyed joins
+(reference tests.R:564-580) — a required deviation from Spark's default
+null-dropping join.
+
+Naming convention: the x side carries ``__g{i}, __xs, __xe, __v{i}``;
+the y side carries ``__yg{i}, __ys, __ye``. Disjoint names keep the join
+unambiguous even when y was derived from x (self-join lineage).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _group_cond(n_groups: int) -> Optional[Column]:
+    cond = None
+    for i in range(n_groups):
+        c = F.col(f"__g{i}").eqNullSafe(F.col(f"__yg{i}"))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def estimate_bin_width(xw: DataFrame, yw: DataFrame, sample_rows: int = 10_000) -> int:
+    """Pick a bin width ≈ p90 interval length from a head sample.
+
+    Uses limit()+collect on a 1-column projection so only a few input
+    splits are read. Any width is correct; width only tunes fan-out
+    (intervals much longer than W explode to many bins; much shorter
+    means many unrelated pairs share a bin). p90 of both sides' lengths
+    balances the two.
+    """
+    lens: list[int] = []
+    for df, s, e in ((xw, "__xs", "__xe"), (yw, "__ys", "__ye")):
+        rows = (
+            df.select((F.col(e) - F.col(s) + F.lit(1)).alias("len"))
+            .limit(sample_rows)
+            .collect()
+        )
+        lens.extend(r["len"] for r in rows if r["len"] is not None)
+    if not lens:
+        return 1
+    lens.sort()
+    return max(1, int(lens[min(len(lens) - 1, int(len(lens) * 0.9))]))
+
+
+def build_overlap_pairs(
+    xw: DataFrame,
+    yw: DataFrame,
+    n_groups: int,
+    strategy: str = "auto",
+    bin_width: Optional[int] = None,
+    skew_salt: Optional[int] = None,
+) -> DataFrame:
+    """Inner-join x intervals to y periods on closed-interval overlap.
+
+    Output carries ``__yg*`` (y group keys), all x columns except its
+    group keys, and ``__ys/__ye`` — one row per overlapping (x, y) pair:
+    exactly the multiset ``foverlaps`` produces (reference
+    timeperiod_functions.R:239-240) minus the unmatched y rows, which
+    the caller restores with a completion join.
+    """
+    overlap = (F.col("__xs") <= F.col("__ye")) & (F.col("__xe") >= F.col("__ys"))
+    ygcols = [f"__yg{i}" for i in range(n_groups)]
+    x_payload = [c for c in xw.columns if not c.startswith("__g")]
+
+    if strategy == "auto":
+        strategy = "group_equi" if n_groups else "bin"
+
+    if strategy in ("group_equi", "broadcast_y", "broadcast_x"):
+        left, right = yw, xw
+        if strategy == "broadcast_y":
+            left = F.broadcast(yw)
+        elif strategy == "broadcast_x":
+            right = F.broadcast(xw)
+        gc = _group_cond(n_groups)
+        cond = overlap if gc is None else (gc & overlap)
+        pairs = left.join(right, cond, "inner")
+        return pairs.select(*ygcols, *x_payload, "__ys", "__ye")
+
+    if strategy == "bin":
+        w = bin_width or estimate_bin_width(xw, yw)
+        wl = F.lit(int(w))
+        xbin = xw.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(F.floor(F.col("__xs") / wl), F.floor(F.col("__xe") / wl))
+            ),
+        )
+        ybin = yw.withColumn(
+            "__ybin",
+            F.explode(
+                F.sequence(F.floor(F.col("__ys") / wl), F.floor(F.col("__ye") / wl))
+            ),
+        )
+        cond = (
+            (F.col("__ybin") == F.col("__bin"))
+            & overlap
+            # first-shared-bin: count each overlapping pair exactly once,
+            # so no post-join dedup — the §4.4 row-count invariant holds
+            # by construction.
+            & (F.col("__ybin") == F.floor(F.greatest("__xs", "__ys") / wl))
+        )
+        if skew_salt and skew_salt > 1:
+            # Salt hot (group, bin) keys: x rows pick a deterministic
+            # salt; y rows replicate across all salts (y is the smaller
+            # side for rollup workloads). Joining on (bin, salt) splits
+            # a hot bin across skew_salt reducers.
+            s = F.lit(int(skew_salt))
+            xbin = xbin.withColumn("__salt", F.pmod(F.xxhash64("__xs", "__xe"), s))
+            ybin = ybin.withColumn(
+                "__ysalt", F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+            )
+            cond = cond & (F.col("__ysalt") == F.col("__salt"))
+        gc = _group_cond(n_groups)
+        if gc is not None:
+            cond = gc & cond
+        pairs = ybin.join(xbin, cond, "inner")
+        return pairs.select(*ygcols, *x_payload, "__ys", "__ye")
+
+    raise ValueError(f"unknown join strategy: {strategy!r}")
