@@ -1,0 +1,195 @@
+"""F10/F12 — remove_overlaps properties, grouped cartesian, running max,
+and the realistic pipeline (reference tests.R:13-50, 56-122, 433-470)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark import interval_weighted_avg
+from timeperiods_spark.operators.cross import grouped_cartesian
+from timeperiods_spark.operators.interval_avg_slow import interval_weighted_avg_slow
+from timeperiods_spark.operators.overlaps import (
+    check_no_overlaps,
+    remove_overlaps,
+    running_max,
+)
+from timeperiods_spark.errors import OverlapError, RoleValidationError
+
+from .conftest import assert_df_equal
+
+
+def test_canonical_case(spark):
+    """tests.R:13-14 — x = [1,5],[5,5],[5,10] → atomic [1,4],[5,5],[6,10]."""
+    x = spark.createDataFrame(
+        [("1", "1", 1, 5), ("1", "1", 5, 5), ("1", "1", 5, 10)],
+        "id1 string, id2 string, start int, end int",
+    )
+    out = remove_overlaps(x, ("start", "end"), ("id1", "id2"))
+    rows = sorted(
+        (r["start"], r["end"], r["o_start"], r["o_end"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, 4, 1, 5),
+        (5, 5, 1, 5),
+        (5, 5, 5, 5),
+        (5, 5, 5, 10),
+        (6, 10, 5, 10),
+    ]
+
+
+def _random_intervals(spark, n=400, seed=185):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        a, b = sorted(rng.integers(0, 1000, size=2).tolist())
+        rows.append(
+            (int(rng.binomial(3, 0.3)), int(rng.binomial(7, 0.5)), int(a), int(b))
+        )
+    return spark.createDataFrame(rows, "id1 int, id2 int, start int, end int")
+
+
+def test_remove_overlaps_properties(spark):
+    """tests.R:18-50 — atomic pieces exactly tile each original with
+    unit continuity, no duplicates; output is non-overlapping; every
+    original endpoint is a cut point."""
+    x = _random_intervals(spark)
+    out = remove_overlaps(x, ("start", "end"), ("id1", "id2")).cache()
+
+    # pieces tile each original: per (group, original), sum of piece
+    # lengths == original length, min start == o_start, max end == o_end
+    tiling = (
+        out.groupBy("id1", "id2", "o_start", "o_end")
+        .agg(
+            F.sum(F.col("end") - F.col("start") + 1).alias("covered"),
+            F.min("start").alias("mn"),
+            F.max("end").alias("mx"),
+            F.count("*").alias("k"),
+            F.count_distinct(F.struct("start", "end")).alias("kd"),
+        )
+        .collect()
+    )
+    assert tiling
+    for r in tiling:
+        assert r["covered"] == r["o_end"] - r["o_start"] + 1, r
+        assert r["mn"] == r["o_start"] and r["mx"] == r["o_end"], r
+        assert r["k"] == r["kd"], f"duplicate pieces: {r}"
+
+    # atomic pieces are non-overlapping within groups
+    pieces = out.select("id1", "id2", "start", "end").dropDuplicates()
+    assert check_no_overlaps(pieces, ("start", "end"), ("id1", "id2"))
+
+    # every original start is the start of some piece; every original
+    # end is the end of some piece (cut-point property, tests.R:40-50)
+    joined_s = out.filter("o_start = start").select("id1", "id2", "o_start", "o_end")
+    joined_e = out.filter("o_end = end").select("id1", "id2", "o_start", "o_end")
+    originals = x.count()
+    assert joined_s.dropDuplicates().count() == x.dropDuplicates().count()
+    assert joined_e.dropDuplicates().count() == x.dropDuplicates().count()
+    out.unpersist()
+
+
+def test_remove_overlaps_dates(spark):
+    d = dt.date
+    x = spark.createDataFrame(
+        [(d(2020, 1, 1), d(2020, 1, 5)), (d(2020, 1, 5), d(2020, 1, 10))],
+        "start date, end date",
+    )
+    out = remove_overlaps(x, ("start", "end"))
+    rows = sorted((r["start"], r["end"]) for r in out.collect())
+    assert rows == [
+        (d(2020, 1, 1), d(2020, 1, 4)),
+        (d(2020, 1, 5), d(2020, 1, 5)),
+        (d(2020, 1, 5), d(2020, 1, 5)),
+        (d(2020, 1, 6), d(2020, 1, 10)),
+    ]
+
+
+def test_pipeline_remove_then_average(spark):
+    """tests.R:433-470 — remove_overlaps → mean over duplicate atomic
+    pieces → interval_weighted_avg, fast == slow."""
+    rng = np.random.default_rng(186)
+    xrows = []
+    for g in range(3):
+        for _ in range(40):
+            a, b = sorted(rng.integers(0, 300, size=2).tolist())
+            xrows.append((g, int(a), int(b), float(rng.normal())))
+    x = spark.createDataFrame(xrows, "g int, start int, end int, value double")
+
+    atomic = remove_overlaps(x, ("start", "end"), ("g",))
+    # join values back by original interval, then average duplicates
+    xx = atomic.join(
+        x.withColumnsRenamed({"start": "o_start", "end": "o_end"}),
+        ["g", "o_start", "o_end"],
+    )
+    clean = xx.groupBy("g", "start", "end").agg(F.avg("value").alias("value"))
+    assert check_no_overlaps(clean, ("start", "end"), ("g",))
+
+    yrows = [(g, s, s + 13) for g in range(3) for s in range(0, 300, 14)]
+    y = spark.createDataFrame(yrows, "g int, start int, end int")
+    fast = interval_weighted_avg(clean, y, ("start", "end"), ("value",), ("g",), 50.0)
+    slow = interval_weighted_avg_slow(
+        clean, y, ("start", "end"), ("value",), ("g",), 50.0
+    )
+    assert_df_equal(fast, slow, ["g", "start", "end"])
+
+
+def test_grouped_cartesian_matches_bruteforce(spark):
+    """F12 (tests.R:56-122) — per-group product, inner group semantics."""
+    X = spark.createDataFrame(
+        [(1, 2, 1, 1), (2, 3, 1, 2), (3, 4, 2, 1), (4, 5, 9, 9)],
+        "x1 int, x2 int, id1 int, id2 int",
+    )
+    Y = spark.createDataFrame(
+        [(4, 5, 1, 1), (5, 6, 1, 1), (6, 7, 1, 2), (7, 8, 3, 3)],
+        "y1 int, y2 int, id1 int, id2 int",
+    )
+    out = grouped_cartesian([X, Y], ["id1", "id2"])
+    got = sorted(tuple(r) for r in out.select("id1", "id2", "x1", "y1").collect())
+    # brute force in python
+    xr = [(1, 2, 1, 1), (2, 3, 1, 2), (3, 4, 2, 1), (4, 5, 9, 9)]
+    yr = [(4, 5, 1, 1), (5, 6, 1, 1), (6, 7, 1, 2), (7, 8, 3, 3)]
+    expect = sorted(
+        (xa[2], xa[3], xa[0], ya[0])
+        for xa in xr
+        for ya in yr
+        if (xa[2], xa[3]) == (ya[2], ya[3])
+    )
+    assert got == expect
+
+
+def test_grouped_cartesian_no_groups_and_null_groups(spark):
+    A = spark.createDataFrame([(1,), (2,)], "a int")
+    B = spark.createDataFrame([(10,), (20,), (30,)], "b int")
+    assert grouped_cartesian([A, B]).count() == 6
+
+    C = spark.createDataFrame([(None, 1.0), (1, 2.0)], "g int, c double")
+    D = spark.createDataFrame([(None, 3.0), (2, 4.0)], "g int, d double")
+    out = grouped_cartesian([C, D], ["g"]).collect()
+    assert len(out) == 1 and out[0]["g"] is None  # NULL matches NULL
+
+
+def test_grouped_cartesian_name_collision_raises(spark):
+    A = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(RoleValidationError):
+        grouped_cartesian([A, A], [])
+
+
+def test_running_max_dates(spark):
+    d = dt.date
+    df = spark.createDataFrame(
+        [(1, 1, d(2020, 1, 5)), (1, 2, d(2020, 1, 2)), (1, 3, d(2020, 1, 9))],
+        "g int, o int, dte date",
+    )
+    out = running_max(df, "dte", ["o"], ["g"]).orderBy("o").collect()
+    assert [r["dte_cummax"] for r in out] == [d(2020, 1, 5), d(2020, 1, 5), d(2020, 1, 9)]
+
+
+def test_check_no_overlaps_raises(spark):
+    df = spark.createDataFrame([(1, 5), (5, 9)], "start int, end int")
+    with pytest.raises(OverlapError):
+        check_no_overlaps(df, ("start", "end"))
+    assert not check_no_overlaps(df, ("start", "end"), raise_on_overlap=False)

@@ -15,11 +15,19 @@ from .errors import (
     RoleValidationError,
     TimeperiodsError,
 )
+from .operators.cross import grouped_cartesian
 from .operators.interval_avg import RESERVED_OUTPUT_NAMES, interval_weighted_avg
+from .operators.interval_avg_slow import interval_weighted_avg_slow
+from .operators.overlaps import check_no_overlaps, remove_overlaps, running_max
 from .session import get_spark
 
 __all__ = [
     "interval_weighted_avg",
+    "interval_weighted_avg_slow",
+    "remove_overlaps",
+    "check_no_overlaps",
+    "running_max",
+    "grouped_cartesian",
     "get_spark",
     "RESERVED_OUTPUT_NAMES",
     "TimeperiodsError",

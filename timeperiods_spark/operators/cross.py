@@ -1,0 +1,75 @@
+"""Grouped cartesian product of N DataFrames.
+
+Reimplements ``CJ.dt`` (/root/reference/timeperiod_functions.R:19-49):
+the per-group cartesian product of any number of tables, keeping only
+group combinations present in every input (inner semantics,
+timeperiod_functions.R:46). In Spark an equi join on the group keys IS
+a per-group cartesian product, so with groups this is a chain of inner
+joins (null-safe — NA group keys match, as in data.table keyed merges)
+and without groups a chain of ``crossJoin``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..errors import RoleValidationError, TimeperiodsError
+
+
+def grouped_cartesian(
+    dfs: Sequence[DataFrame],
+    groups: Optional[Sequence[str]] = None,
+    *,
+    check_nonempty: bool = False,
+) -> DataFrame:
+    """Cartesian-expand ``dfs`` within each group combination.
+
+    Non-group column names must be unique across inputs (the reference
+    relies on data.table's ``i.`` auto-prefixing; this engine requires
+    explicit disambiguation — rename before calling).
+
+    ``check_nonempty=True`` reproduces the reference's eager
+    "one or more data.tables have no rows" error
+    (timeperiod_functions.R:22) at the cost of one action per input.
+    """
+    dfs = list(dfs)
+    if len(dfs) < 2:
+        raise RoleValidationError("grouped_cartesian needs at least two DataFrames")
+    groups = list(groups or [])
+    seen: dict[str, int] = {}
+    for i, df in enumerate(dfs):
+        for c in df.columns:
+            if c in groups:
+                continue
+            if c in seen:
+                raise RoleValidationError(
+                    f"non-group column {c!r} appears in inputs {seen[c]} and {i}; "
+                    "rename to disambiguate"
+                )
+            seen[c] = i
+        missing = [g for g in groups if g not in df.columns]
+        if missing:
+            raise RoleValidationError(f"group columns {missing} missing from input {i}")
+    if check_nonempty:
+        for i, df in enumerate(dfs):
+            if df.limit(1).count() == 0:
+                raise TimeperiodsError(f"input {i} has no rows")
+
+    if not groups:
+        return reduce(lambda a, b: a.crossJoin(b), dfs)
+
+    def join_pair(acc: DataFrame, nxt: DataFrame) -> DataFrame:
+        right = nxt
+        renames = {g: f"__r_{g}" for g in groups}
+        for g, rg in renames.items():
+            right = right.withColumnRenamed(g, rg)
+        cond = None
+        for g, rg in renames.items():
+            c = F.col(g).eqNullSafe(F.col(rg))
+            cond = c if cond is None else (cond & c)
+        return acc.join(right, cond, "inner").drop(*renames.values())
+
+    return reduce(join_pair, dfs)

@@ -1,0 +1,180 @@
+"""Interval decomposition and overlap utilities.
+
+``remove_overlaps`` reimplements the reference's endpoint sweep
+(/root/reference/timeperiod_functions.R:527-588): melt interval
+endpoints into an ordered event stream, reconstruct the atomic
+(non-overlapping) partition of each group's time axis with a window
+lead, and range-join the originals back on so each atomic piece is
+tagged with every original interval covering it. It is the
+preprocessing step that turns overlapping raw measurements into legal
+``interval_weighted_avg`` input (reference pipeline tests.R:433-470).
+
+Spark-first shape: the melt is a union of two projections, the sweep is
+a single window (one shuffle by group), and the join-back reuses the
+pluggable range-join strategies — every step is a native DataFrame op.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from ..errors import IntervalValidationError, OverlapError, RoleValidationError
+from ..plans.strategy import build_overlap_pairs
+from .interval_avg import _grid, _is_intervalish, _ungrid
+
+
+def _normalize(
+    x: DataFrame, interval_vars: Sequence[str], group_vars: Sequence[str]
+):
+    if len(interval_vars) != 2:
+        raise RoleValidationError("interval_vars must name exactly (start, end)")
+    missing = [c for c in list(interval_vars) + list(group_vars) if c not in x.columns]
+    if missing:
+        raise RoleValidationError(f"columns {missing} not present in x")
+    xf = {f.name: f.dataType for f in x.schema.fields}
+    s_t, e_t = xf[interval_vars[0]], xf[interval_vars[1]]
+    if not (_is_intervalish(s_t) and _is_intervalish(e_t)):
+        raise IntervalValidationError("interval_vars must be integer or date columns")
+    if isinstance(s_t, T.DateType) != isinstance(e_t, T.DateType):
+        raise IntervalValidationError("interval_vars must share a class")
+    return s_t
+
+
+def remove_overlaps(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    join_strategy: str = "group_equi",
+    bin_width: Optional[int] = None,
+) -> DataFrame:
+    """Decompose possibly-overlapping intervals into atomic pieces.
+
+    Returns one row per (atomic piece, original interval overlapping
+    it): columns ``group_vars…, interval_vars… (the atomic piece),
+    o_<start>, o_<end> (the original interval)``. The reference names
+    the original columns ``o.start``/``o.end``
+    (timeperiod_functions.R:584); Spark column names with dots require
+    backtick quoting everywhere, so this engine uses ``o_`` —
+    a deliberate, documented deviation.
+    """
+    group_vars = list(group_vars or [])
+    ivl_dtype = _normalize(x, interval_vars, group_vars)
+    n_g = len(group_vars)
+    gcols = [f"__g{i}" for i in range(n_g)]
+    ygcols = [f"__yg{i}" for i in range(n_g)]
+
+    xf = {f.name: f.dataType for f in x.schema.fields}
+    base = x.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
+        _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
+        _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
+    )
+
+    # O21 — melt endpoints into a long event stream
+    melted = base.select(*gcols, F.col("__xs").alias("__val"), F.lit(False).alias("__is_end")).unionByName(
+        base.select(*gcols, F.col("__xe").alias("__val"), F.lit(True).alias("__is_end"))
+    )
+
+    # O22 — order (value, is_end) within group; lead flag + value.
+    # False sorts before True, so a start at value v precedes an end at v,
+    # matching the reference's setorderv (timeperiod_functions.R:559).
+    w = (
+        Window.partitionBy(*gcols).orderBy("__val", "__is_end")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__val", "__is_end")
+    )
+    swept = melted.select(
+        *gcols,
+        "__val",
+        "__is_end",
+        F.lead("__is_end").over(w).alias("__next_end"),
+        F.lead("__val").over(w).alias("__next_val"),
+    ).filter(F.col("__next_end").isNotNull())
+
+    # O23 — boundary reconstruction (timeperiod_functions.R:568-573):
+    # piece start = value at a start-point, value+1 after an end-point;
+    # piece end = next_value-1 before a start-point, next_value at an end.
+    atomic = swept.select(
+        *gcols,
+        F.when(~F.col("__is_end"), F.col("__val")).otherwise(F.col("__val") + 1).alias("__as"),
+        F.when(~F.col("__next_end"), F.col("__next_val") - 1).otherwise(F.col("__next_val")).alias("__ae"),
+    ).filter(F.col("__ae") >= F.col("__as"))
+
+    # O24 — tag each atomic piece with every original interval covering
+    # it. Reuse the range-join strategies: originals are the x side,
+    # atomic pieces the y side.
+    yw = atomic.select(
+        *[F.col(g).alias(yg) for g, yg in zip(gcols, ygcols)],
+        F.col("__as").alias("__ys"),
+        F.col("__ae").alias("__ye"),
+    )
+    pairs = build_overlap_pairs(
+        base, yw, n_g, strategy=join_strategy, bin_width=bin_width
+    )
+
+    out = pairs.select(
+        *[F.col(yg).alias(orig) for yg, orig in zip(ygcols, group_vars)],
+        _ungrid(F.col("__ys"), ivl_dtype).alias(interval_vars[0]),
+        _ungrid(F.col("__ye"), ivl_dtype).alias(interval_vars[1]),
+        _ungrid(F.col("__xs"), ivl_dtype).alias(f"o_{interval_vars[0]}"),
+        _ungrid(F.col("__xe"), ivl_dtype).alias(f"o_{interval_vars[1]}"),
+    )
+    return out
+
+
+def check_no_overlaps(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    raise_on_overlap: bool = True,
+) -> bool:
+    """True when intervals are strictly non-overlapping within groups.
+
+    Window-scan formulation of the reference's self-``foverlaps``
+    assertion (timeperiod_functions.R:213-220): within each group sorted
+    by (start, end), a row overlaps a predecessor iff its start <= the
+    running max of previous ends (closed intervals — a touching
+    endpoint IS an overlap). One shuffle, no join.
+    """
+    group_vars = list(group_vars or [])
+    _normalize(x, interval_vars, group_vars)
+    xf = {f.name: f.dataType for f in x.schema.fields}
+    gcols = [f"__g{i}" for i in range(len(group_vars))]
+    base = x.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
+        _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
+        _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("__xs", "__xe")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__xs", "__xe")
+    )
+    prev_max_end = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    n_bad = base.select((F.col("__xs") <= prev_max_end).alias("bad")).filter(
+        "bad"
+    ).limit(1).count()
+    if n_bad and raise_on_overlap:
+        raise OverlapError("overlapping intervals within groups")
+    return n_bad == 0
+
+
+def running_max(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Running (cumulative) max — generalizes the reference's
+    ``cummax.Date`` (timeperiod_functions.R:52) to any orderable column,
+    grouped. Works on dates natively (no int round-trip needed)."""
+    w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(out_col or f"{col}_cummax", F.max(col).over(w))
