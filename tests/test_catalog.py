@@ -1,0 +1,143 @@
+"""M6/M7 — tier catalog, incremental continuous aggregates, retention,
+compaction, resumable lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark.operators.rollup import rollup_regular
+from timeperiods_spark.runner import ResumableJob
+from timeperiods_spark.sources.catalog import TierCatalog
+from timeperiods_spark.sources.tokens import token_table
+from timeperiods_spark.streaming.continuous import ingest_batch
+
+from .conftest import assert_df_equal
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return TierCatalog(
+        root=str(tmp_path / "tiers"),
+        value_vars=("n_tok",),
+        group_vars=("source",),
+        bucket_periods=512,
+    )
+
+
+def _batches(spark, n_docs=2400, n_batches=3):
+    per = n_docs // n_batches
+    tok = token_table(spark, n_docs)
+    return [
+        tok.filter(
+            (F.col("doc_id").cast("long") >= i * per)
+            & (F.col("doc_id").cast("long") < (i + 1) * per)
+        )
+        for i in range(n_batches)
+    ], tok
+
+
+IVARS = ("start_hour", "end_hour")
+
+
+def test_incremental_equals_rebuild(spark, catalog):
+    """Batches ingested incrementally == one-shot rebuild, every tier."""
+    batches, full = _batches(spark)
+    for i, b in enumerate(batches):
+        ingest_batch(catalog, b, IVARS, batch_id=f"b{i}")
+    for tier, width in catalog.tiers.items():
+        incr = catalog.read_finished(spark, tier, required_percentage=0.0)
+        direct = rollup_regular(
+            full, IVARS, ("n_tok",), ("source",), width=width, required_percentage=0.0
+        ).drop("period")
+        assert_df_equal(
+            incr.drop("period").orderBy("source", "start"),
+            direct.orderBy("source", "start"),
+            ["source", "start"],
+        )
+
+
+def test_upsert_idempotent(spark, catalog):
+    """Re-ingesting the same batch_id must not change any tier (the
+    crash-replay safety property)."""
+    batches, _ = _batches(spark)
+    ingest_batch(catalog, batches[0], IVARS, batch_id="b0")
+    before = catalog.read_partials(spark, "daily").orderBy("source", "period").collect()
+    ingest_batch(catalog, batches[0], IVARS, batch_id="b0")  # replay
+    after = catalog.read_partials(spark, "daily").orderBy("source", "period").collect()
+    assert before == after
+
+
+def test_compact_preserves_and_reduces_deltas(spark, catalog):
+    batches, _ = _batches(spark)
+    for i, b in enumerate(batches):
+        ingest_batch(catalog, b, IVARS, batch_id=f"b{i}")
+    assert catalog.delta_count("hourly") >= 3
+    before = catalog.read_finished(spark, "hourly", 0.0).orderBy("source", "period").collect()
+    catalog.compact(spark, "hourly")
+    assert catalog.delta_count("hourly") == 1
+    after = catalog.read_finished(spark, "hourly", 0.0).orderBy("source", "period").collect()
+    assert before == after
+
+
+def test_expire_drops_old_buckets(spark, catalog):
+    batches, _ = _batches(spark)
+    ingest_batch(catalog, batches[0], IVARS, batch_id="b0")
+    horizon = 4000
+    dropped = catalog.expire("hourly", keep_periods_from=horizon)
+    assert dropped, "expected at least one dropped bucket"
+    remaining = catalog.read_partials(spark, "hourly").agg(F.min("period")).first()[0]
+    # only whole buckets below the horizon bucket are dropped
+    assert remaining >= (horizon // catalog.bucket_periods) * catalog.bucket_periods
+
+
+def test_resumable_job_skips_completed(tmp_path):
+    job = ResumableJob(str(tmp_path / "manifest"))
+    calls = []
+    rec1 = job.run_unit("u1", lambda: calls.append(1) or {"rows": 5})
+    assert not rec1["skipped"] and rec1["metrics"]["rows"] == 5
+    rec2 = job.run_unit("u1", lambda: calls.append(1) or {"rows": 5})
+    assert rec2["skipped"]
+    assert len(calls) == 1
+    assert job.completed_units() == {"u1"}
+    s = job.summary()
+    assert s["units"] == 1 and s["records"][0]["unit_id"] == "u1"
+
+
+def test_resumable_ingest_resumes_per_tier(spark, catalog, tmp_path):
+    """Simulate a crash between tiers: pre-complete hourly in the
+    manifest, ingest, confirm hourly unit skipped but daily/weekly ran."""
+    batches, _ = _batches(spark)
+    job = ResumableJob(str(tmp_path / "m"))
+    # first full ingest with lineage
+    ingest_batch(catalog, batches[0], IVARS, job=job, batch_id="b0")
+    assert job.completed_units() == {"b0:hourly", "b0:daily", "b0:weekly"}
+    # replay the whole batch: every unit should be skipped (no rewrite)
+    marker = catalog.tier_path("hourly")
+    mtime = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fns in os.walk(marker)
+        for f in fns
+    )
+    ingest_batch(catalog, batches[0], IVARS, job=job, batch_id="b0")
+    mtime2 = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fns in os.walk(marker)
+        for f in fns
+    )
+    assert mtime2 == mtime  # skipped units did not touch storage
+
+
+def test_torn_manifest_record_reruns(tmp_path):
+    job = ResumableJob(str(tmp_path / "m"))
+    job.run_unit("u1", lambda: {"rows": 1})
+    # corrupt the record (torn write)
+    p = os.path.join(str(tmp_path / "m"), "units", "u1.json")
+    with open(p, "w") as fh:
+        fh.write('{"unit_id": ')
+    assert job.completed_units() == set()
+    rec = job.run_unit("u1", lambda: {"rows": 2})
+    assert not rec["skipped"] and rec["metrics"]["rows"] == 2

@@ -1,0 +1,217 @@
+"""M4/M5 — token table, regular-grid rollups, cascades, gap-fill/LOCF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark import interval_weighted_avg
+from timeperiods_spark.operators.rollup import (
+    cascade,
+    finalize_rollup,
+    gap_fill_locf,
+    merge_partials,
+    period_scaffold,
+    rollup_regular,
+)
+from timeperiods_spark.sources.tokens import token_table
+
+from .conftest import assert_df_equal
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def tok(spark):
+    # x role: (source group, [start_hour, end_hour], value n_tok).
+    # Raw sequences overlap within a source, so decompose-by-average:
+    # mean n_tok per (source, hour-cell) — here we just use doc-level
+    # intervals made non-overlapping by averaging per atomic hour via
+    # rollup at width=1 (every tier is then derived from hourly).
+    return token_table(spark, N_DOCS).cache()
+
+
+def test_token_table_shape(tok):
+    row = tok.selectExpr(
+        "count(*) AS n",
+        "sum(CASE WHEN size(tokens) = n_tok THEN 0 ELSE 1 END) AS bad_len",
+        "sum(CASE WHEN end_hour < start_hour THEN 1 ELSE 0 END) AS rev",
+        "count(DISTINCT source) AS nsrc",
+    ).first()
+    assert row["n"] == N_DOCS
+    assert row["bad_len"] == 0
+    assert row["rev"] == 0
+    assert row["nsrc"] == 11
+
+
+def test_token_roundtrip_repartition(tok):
+    """FIXTURES F13 invariant: per-row token-array equality survives
+    repartitioning (shuffle round-trip)."""
+    shuffled = tok.repartition(16, "source")
+    joined = tok.alias("a").join(shuffled.alias("b"), "doc_id")
+    bad = joined.filter(F.expr("a.tokens != b.tokens")).count()
+    assert bad == 0
+
+
+def _hourly_x(tok):
+    """Non-overlapping hourly measurement table per source: average
+    token throughput per (source, hour) from doc intervals."""
+    per_hour = rollup_regular(
+        tok,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=1,
+        required_percentage=0.0,
+    )
+    return per_hour.select(
+        "source",
+        F.col("start").cast("int").alias("start_hour"),
+        F.col("end").cast("int").alias("end_hour"),
+        F.col("n_tok"),
+    )
+
+
+def test_rollup_equals_interval_weighted_avg(spark, tok):
+    """Differential: map-side regular rollup == generic iwa over an
+    explicit scaffold y (covered periods only)."""
+    x = _hourly_x(tok).cache()
+    width = 24
+    rolled = rollup_regular(
+        x,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=width,
+        required_percentage=50.0,
+    ).select(
+        "source",
+        F.col("start").cast("int").alias("start_hour"),
+        F.col("end").cast("int").alias("end_hour"),
+        "n_tok",
+        "yduration",
+        "xduration",
+        "nobs_n_tok",
+        F.col("xminstart").cast("int").alias("xminstart"),
+        F.col("xmaxend").cast("int").alias("xmaxend"),
+    )
+
+    lohi = x.agg(F.min("start_hour"), F.max("end_hour")).first()
+    scaffold = period_scaffold(
+        spark, int(lohi[0]), int(lohi[1]), width, 0, tok.select("source").distinct()
+    ).select(
+        "source",
+        F.col("start").cast("int").alias("start_hour"),
+        F.col("end").cast("int").alias("end_hour"),
+    )
+    via_iwa = interval_weighted_avg(
+        x,
+        scaffold,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        required_percentage=50.0,
+        join_strategy="broadcast_y",
+    ).filter("xduration > 0")
+    assert_df_equal(rolled, via_iwa, ["source", "start_hour"])
+    x.unpersist()
+
+
+def test_cascade_exact(spark, tok):
+    """daily/weekly partials cascaded from hourly == computed direct."""
+    x = _hourly_x(tok).cache()
+    hourly = rollup_regular(
+        x, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=1, partial=True
+    ).cache()
+    for coarse in (24, 168):
+        direct = rollup_regular(
+            x,
+            ("start_hour", "end_hour"),
+            ("n_tok",),
+            ("source",),
+            width=coarse,
+            partial=True,
+        )
+        casc = cascade(
+            hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=coarse
+        )
+        assert_df_equal(
+            casc.orderBy("source", "period"),
+            direct.orderBy("source", "period"),
+            ["source", "period"],
+        )
+    # weekly from daily as well (nesting 24 | 168)
+    daily = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=24)
+    weekly_from_daily = cascade(
+        daily, ("n_tok",), ("source",), fine_width=24, coarse_width=168
+    )
+    weekly_direct = rollup_regular(
+        x, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=168, partial=True
+    )
+    assert_df_equal(
+        weekly_from_daily.orderBy("source", "period"),
+        weekly_direct.orderBy("source", "period"),
+        ["source", "period"],
+    )
+    hourly.unpersist()
+    x.unpersist()
+
+
+def test_finalize_matches_nonpartial(spark, tok):
+    x = _hourly_x(tok)
+    p = rollup_regular(
+        x, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=24, partial=True
+    )
+    fin = finalize_rollup(p, ("n_tok",), ("source",), width=24, required_percentage=50.0)
+    direct = rollup_regular(
+        x,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=24,
+        required_percentage=50.0,
+    )
+    assert_df_equal(
+        fin.orderBy("source", "period"), direct.orderBy("source", "period"),
+        ["source", "period"],
+    )
+
+
+def test_merge_partials_incremental(spark):
+    """Incremental continuous aggregate: partials of two batches merged
+    == partials of the union."""
+    rows1 = [("a", 0, 9, 2.0), ("a", 10, 19, 4.0)]
+    rows2 = [("a", 20, 29, 6.0), ("b", 0, 4, 1.0)]
+    mk = lambda rows: spark.createDataFrame(rows, "g string, s int, e int, v double")
+    p1 = rollup_regular(mk(rows1), ("s", "e"), ("v",), ("g",), width=7, partial=True)
+    p2 = rollup_regular(mk(rows2), ("s", "e"), ("v",), ("g",), width=7, partial=True)
+    merged = merge_partials(p1.unionByName(p2), ("v",), ("g",))
+    full = rollup_regular(
+        mk(rows1 + rows2), ("s", "e"), ("v",), ("g",), width=7, partial=True
+    )
+    assert_df_equal(
+        merged.orderBy("g", "period"), full.orderBy("g", "period"), ["g", "period"]
+    )
+
+
+def test_gap_fill_locf(spark):
+    x = spark.createDataFrame(
+        [("a", 0, 6, 10.0), ("a", 21, 27, 20.0)], "g string, s int, e int, v double"
+    )
+    rolled = rollup_regular(x, ("s", "e"), ("v",), ("g",), width=7, required_percentage=100.0)
+    filled = gap_fill_locf(rolled, ("v",), ("g",), width=7, span=(0, 34)).orderBy("period")
+    rows = filled.collect()
+    assert [r["period"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["gap_filled"] for r in rows] == [False, True, True, False, True]
+    assert [r["v_filled"] for r in rows] == [10.0, 10.0, 10.0, 20.0, 20.0]
+    assert rows[1]["v"] is None and rows[1]["xduration"] == 0
+
+
+def test_gap_fill_locf_null_before_first(spark):
+    # LOCF before any observation stays NULL
+    x = spark.createDataFrame([("a", 14, 20, 5.0)], "g string, s int, e int, v double")
+    rolled = rollup_regular(x, ("s", "e"), ("v",), ("g",), width=7)
+    filled = gap_fill_locf(rolled, ("v",), ("g",), width=7, span=(0, 20)).orderBy("period")
+    rows = filled.collect()
+    assert rows[0]["v_filled"] is None and rows[0]["gap_filled"]
+    assert rows[2]["v_filled"] == 5.0

@@ -15,7 +15,21 @@ from .errors import (
     RoleValidationError,
     TimeperiodsError,
 )
+from .functions.compression import compress_series, decompress_series
+from .functions.grid import salted_repartition, timestamp_to_grid
 from .operators.cross import grouped_cartesian
+from .operators.rollup import (
+    cascade,
+    finalize_rollup,
+    gap_fill_locf,
+    merge_partials,
+    period_scaffold,
+    rollup_regular,
+)
+from .runner import ResumableJob
+from .sources.catalog import TierCatalog
+from .sources.tokens import token_table
+from .streaming.continuous import ingest_batch
 from .operators.interval_avg import RESERVED_OUTPUT_NAMES, interval_weighted_avg
 from .operators.interval_avg_slow import interval_weighted_avg_slow
 from .operators.overlaps import check_no_overlaps, remove_overlaps, running_max
@@ -28,6 +42,20 @@ __all__ = [
     "check_no_overlaps",
     "running_max",
     "grouped_cartesian",
+    "rollup_regular",
+    "finalize_rollup",
+    "merge_partials",
+    "cascade",
+    "gap_fill_locf",
+    "period_scaffold",
+    "compress_series",
+    "decompress_series",
+    "token_table",
+    "TierCatalog",
+    "ResumableJob",
+    "ingest_batch",
+    "salted_repartition",
+    "timestamp_to_grid",
     "get_spark",
     "RESERVED_OUTPUT_NAMES",
     "TimeperiodsError",

@@ -1,0 +1,338 @@
+"""Gorilla-style compression of per-period value series.
+
+Implements the two encodings of the public Gorilla paper (Pelkonen et
+al., "Gorilla: A Fast, Scalable, In-Memory Time Series Database",
+VLDB 2015) — delta-of-delta for period ids, XOR for float64 values —
+as vectorized numpy bit-packing inside Arrow-batched pandas UDFs.
+Nothing here is per-row Python at the Spark layer: compression is one
+``applyInPandas`` over (group) and decompression one ``mapInPandas``
+over blocks.
+
+Block layout (little-endian header, MSB-first bitstream):
+
+    u32 n_points | i64 first_period | u64 first_value_bits
+    | ceil(n/8) null bitmap bytes | bitstream
+
+Timestamp (period) deltas-of-deltas per point i>=1 (i==1 uses dod
+relative to an implied previous delta of 0):
+    dod == 0                  -> '0'
+    dod in [-63, 64]          -> '10'   + 7 bits (zigzag offset +63)
+    dod in [-255, 256]        -> '110'  + 9 bits (+255)
+    dod in [-2047, 2048]      -> '1110' + 12 bits (+2047)
+    else                      -> '1111' + 64 bits raw
+Value XOR per point i>=1:
+    xor == 0                  -> '0'
+    reuse previous window     -> '10' + meaningful bits
+    new window                -> '11' + 6b leading + 6b (length-1) + bits
+
+NULL values are carried in the bitmap and encoded as a repeat of the
+previous value (xor=0), so a long gap costs 1 bit/point. Exact
+round-trip is asserted per series (FIXTURES.md F13 invariant); Spark
+NULL and NaN both map to NULL on decode (R NA/NaN ≡ Spark NULL parity,
+SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------- bits
+
+
+def _pack_chunks(bits: np.ndarray, lens: np.ndarray) -> bytes:
+    """Pack (value, bit-length) chunks MSB-first into bytes, fully
+    vectorized (grouped-arange scatter, no Python loop)."""
+    bits = bits.astype(np.uint64)
+    lens = lens.astype(np.int64)
+    keep = lens > 0
+    bits, lens = bits[keep], lens[keep]
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    offsets = np.cumsum(lens) - lens
+    idx = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)
+    shifts = (np.repeat(lens, lens) - 1 - idx).astype(np.uint64)
+    bitvals = ((np.repeat(bits, lens) >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitvals).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("a", "i")
+
+    def __init__(self, buf: bytes):
+        self.a = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.i = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        a, i = self.a, self.i
+        for j in range(n):
+            v = (v << 1) | int(a[i + j])
+        self.i = i + n
+        return v
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 (vectorized; 64 for x == 0)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[x > 0] += 1  # bl = bit_length
+    return 64 - bl
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Count trailing zeros of uint64 (vectorized; 64 for x == 0)."""
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    lowbit = x[nz] & (~x[nz] + np.uint64(1))
+    out[nz] = 63 - _clz64(lowbit)[...]
+    return out
+
+
+# ------------------------------------------------------------- encode
+
+
+def gorilla_encode(periods: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one series (sorted int64 periods, float64 values with
+    NaN = NULL) into a Gorilla block. Vectorized except the final
+    value-window scan, which is inherently sequential (each point's
+    window depends on the previous point's); that scan is still numpy
+    array ops per step, not Python object code."""
+    periods = np.asarray(periods, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    n = len(periods)
+    if n == 0:
+        return np.uint32(0).tobytes()
+    null_mask = np.isnan(values)
+    # nulls repeat the previous value → xor 0
+    vals = values.copy()
+    if null_mask[0]:
+        vals[0] = 0.0
+    filled = pd.Series(vals).ffill().to_numpy()
+    vbits = filled.view(np.uint64)
+
+    header = (
+        np.uint32(n).tobytes()
+        + np.int64(periods[0]).tobytes()
+        + vbits[0:1].tobytes()
+        + np.packbits(null_mask.astype(np.uint8)).tobytes()
+    )
+    if n == 1:
+        return header
+
+    # --- timestamps: delta of delta, fully vectorized chunking ---
+    deltas = np.diff(periods)
+    dod = np.diff(np.concatenate([[0], deltas]))
+    tb = np.zeros(n - 1, dtype=np.uint64)
+    tl = np.zeros(n - 1, dtype=np.int64)
+    z = dod == 0
+    tb[z], tl[z] = 0, 1
+    b1 = ~z & (dod >= -63) & (dod <= 64)
+    tb[b1] = (np.uint64(0b10) << np.uint64(7)) | (dod[b1] + 63).astype(np.uint64)
+    tl[b1] = 9
+    b2 = ~z & ~b1 & (dod >= -255) & (dod <= 256)
+    tb[b2] = (np.uint64(0b110) << np.uint64(9)) | (dod[b2] + 255).astype(np.uint64)
+    tl[b2] = 12
+    b3 = ~z & ~b1 & ~b2 & (dod >= -2047) & (dod <= 2048)
+    tb[b3] = (np.uint64(0b1110) << np.uint64(12)) | (dod[b3] + 2047).astype(np.uint64)
+    tl[b3] = 16
+    b4 = ~z & ~b1 & ~b2 & ~b3
+    # '1111' control chunk + 64-bit raw payload chunk
+    t_ctrl_b = np.where(b4, np.uint64(0b1111), tb)
+    t_ctrl_l = np.where(b4, 4, tl)
+    t_pay_b = np.where(b4, dod.view(np.uint64), np.uint64(0))
+    t_pay_l = np.where(b4, 64, 0)
+
+    # --- values: XOR with window reuse (sequential window state) ---
+    xors = vbits[1:] ^ vbits[:-1]
+    lz = np.minimum(_clz64(xors), 31)  # 5-bit-able, paper caps at 31
+    tz = _ctz64(xors)
+    v_ctrl_b = np.zeros(n - 1, dtype=np.uint64)
+    v_ctrl_l = np.zeros(n - 1, dtype=np.int64)
+    v_pay_b = np.zeros(n - 1, dtype=np.uint64)
+    v_pay_l = np.zeros(n - 1, dtype=np.int64)
+    prev_lead, prev_len = -1, -1  # no window yet
+    for i in range(n - 1):
+        x = xors[i]
+        if x == 0:
+            v_ctrl_b[i], v_ctrl_l[i] = 0, 1
+            continue
+        li, ti = int(lz[i]), int(tz[i])
+        mlen = 64 - li - ti
+        if (
+            prev_lead >= 0
+            and li >= prev_lead
+            and mlen <= prev_len
+            and (64 - prev_lead - prev_len) <= ti
+        ):
+            # reuse window: '10' + prev_len bits
+            v_ctrl_b[i], v_ctrl_l[i] = np.uint64(0b10), 2
+            v_pay_b[i] = x >> np.uint64(64 - prev_lead - prev_len)
+            v_pay_l[i] = prev_len
+        else:
+            # new window: '11' + 6b lead + 6b (len-1), then bits
+            v_ctrl_b[i] = (
+                (np.uint64(0b11) << np.uint64(12))
+                | (np.uint64(li) << np.uint64(6))
+                | np.uint64(mlen - 1)
+            )
+            v_ctrl_l[i] = 14
+            v_pay_b[i] = x >> np.uint64(ti)
+            v_pay_l[i] = mlen
+            prev_lead, prev_len = li, mlen
+
+    # interleave: per point, ts-ctrl, ts-pay, v-ctrl, v-pay
+    m = n - 1
+    bits = np.empty(4 * m, dtype=np.uint64)
+    lens = np.empty(4 * m, dtype=np.int64)
+    bits[0::4], lens[0::4] = t_ctrl_b, t_ctrl_l
+    bits[1::4], lens[1::4] = t_pay_b, t_pay_l
+    bits[2::4], lens[2::4] = v_ctrl_b, v_ctrl_l
+    bits[3::4], lens[3::4] = v_pay_b, v_pay_l
+    return header + _pack_chunks(bits, lens)
+
+
+# ------------------------------------------------------------- decode
+
+
+def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block → (periods int64, values float64 with NaN for
+    encoded NULLs). Sequential by nature (cold/read path)."""
+    n = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    first_p = int(np.frombuffer(blob[4:12], dtype=np.int64)[0])
+    first_v = np.frombuffer(blob[12:20], dtype=np.uint64)[0]
+    nbytes = (n + 7) // 8
+    null_mask = np.unpackbits(
+        np.frombuffer(blob[20 : 20 + nbytes], dtype=np.uint8)
+    )[:n].astype(bool)
+
+    periods = np.empty(n, dtype=np.int64)
+    vbits = np.empty(n, dtype=np.uint64)
+    periods[0] = first_p
+    vbits[0] = first_v
+    if n > 1:
+        r = _BitReader(blob[20 + nbytes :])
+        delta = 0
+        prev_lead, prev_len = -1, -1
+        for i in range(1, n):
+            # timestamp
+            if r.take(1) == 0:
+                dod = 0
+            elif r.take(1) == 0:
+                dod = r.take(7) - 63
+            elif r.take(1) == 0:
+                dod = r.take(9) - 255
+            elif r.take(1) == 0:
+                dod = r.take(12) - 2047
+            else:
+                raw = r.take(64)
+                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+            delta += dod
+            periods[i] = periods[i - 1] + delta
+            # value
+            if r.take(1) == 0:
+                vbits[i] = vbits[i - 1]
+            else:
+                if r.take(1) == 0:  # reuse window
+                    bitsv = r.take(prev_len)
+                    x = np.uint64(bitsv) << np.uint64(64 - prev_lead - prev_len)
+                else:
+                    prev_lead = r.take(6)
+                    prev_len = r.take(6) + 1
+                    bitsv = r.take(prev_len)
+                    x = np.uint64(bitsv) << np.uint64(64 - prev_lead - prev_len)
+                vbits[i] = vbits[i - 1] ^ x
+    values = vbits.view(np.float64).copy()
+    values[null_mask] = np.nan
+    return periods, values
+
+
+# -------------------------------------------------------- spark layer
+
+
+def compress_series(
+    df,
+    group_vars: Sequence[str],
+    period_col: str = "period",
+    value_col: str = "value",
+):
+    """One Gorilla block per group: (group_vars…, n_points,
+    first_period, last_period, raw_bytes, blob). Uses applyInPandas —
+    one Arrow batch per group, numpy inside."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    gv = list(group_vars)
+    gfields = [f for f in df.schema.fields if f.name in gv]
+    schema = T.StructType(
+        gfields
+        + [
+            T.StructField("n_points", T.IntegerType()),
+            T.StructField("first_period", T.LongType()),
+            T.StructField("last_period", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(period_col)
+        p = pdf[period_col].to_numpy(dtype=np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        blob = gorilla_encode(p, v)
+        out = {g: [pdf[g].iloc[0]] for g in gv}
+        out["n_points"] = [len(p)]
+        out["first_period"] = [int(p[0]) if len(p) else 0]
+        out["last_period"] = [int(p[-1]) if len(p) else 0]
+        out["raw_bytes"] = [len(p) * 16]
+        out["blob"] = [blob]
+        return pd.DataFrame(out)
+
+    return df.select(*gv, period_col, value_col).groupBy(*gv).applyInPandas(
+        encode, schema
+    )
+
+
+def decompress_series(
+    compressed,
+    group_vars: Sequence[str],
+    period_col: str = "period",
+    value_col: str = "value",
+):
+    """Explode Gorilla blocks back to (group_vars…, period, value) with
+    mapInPandas (streaming over blocks; no per-row Python at the Spark
+    layer — each iteration handles a whole block)."""
+    import pyspark.sql.types as T
+
+    gv = list(group_vars)
+    gfields = [f for f in compressed.schema.fields if f.name in gv]
+    schema = T.StructType(
+        gfields
+        + [
+            T.StructField(period_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                p, v = gorilla_decode(bytes(row["blob"]))
+                frame = pd.DataFrame({period_col: p, value_col: v})
+                for g in gv:
+                    frame[g] = row[g]
+                frames.append(frame[gv + [period_col, value_col]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return compressed.mapInPandas(decode, schema)

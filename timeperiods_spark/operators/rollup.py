@@ -1,0 +1,290 @@
+"""Regular-grid tier rollups, partial aggregates, and cascades.
+
+The retention tiers of the north star (hourly → daily → weekly) are a
+special case of interval_weighted_avg where the period schedule y is a
+REGULAR grid: period p covers ``[origin + p*width, origin + (p+1)*width - 1]``
+(closed, grid units). That regularity removes the join entirely:
+
+- ``rollup_regular`` explodes each measurement interval to the period
+  ids it touches (``sequence(floor((s-o)/W), floor((e-o)/W))`` — pure
+  map-side, fan-out = interval length / W), clips, and hash-aggregates
+  by (group, period). ONE shuffle total, keyed by (group, period) —
+  the plan a 1000-executor cluster wants. It is differentially tested
+  against interval_weighted_avg over an explicit scaffold y.
+
+- Partial mode keeps the ADDITIVE pre-projection aggregates
+  (xduration, nobs_v, sumprod_v, xminstart, xmaxend) instead of the
+  finished means. Partials are mergeable, which makes continuous
+  aggregates incremental and tier cascades exact: daily partials are
+  the exact sum of hourly partials when tier widths nest
+  (24h | 168h), so coarser tiers are computed from the finer tier's
+  materialization without touching raw data — and ``finalize_rollup``
+  derives the reference-contract columns at read time.
+
+Reference parity: finished outputs reproduce interval_weighted_avg_f's
+columns (/root/reference/timeperiod_functions.R:300-347) projected onto
+a regular y schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..errors import RoleValidationError
+
+PARTIAL_COLS = ("xduration", "xminstart", "xmaxend")
+
+
+def period_scaffold(
+    spark,
+    lo: int,
+    hi: int,
+    width: int,
+    origin: int = 0,
+    groups: Optional[DataFrame] = None,
+) -> DataFrame:
+    """All regular periods of ``width`` covering grid range [lo, hi]:
+    columns (period, start, end). With ``groups`` (a distinct frame of
+    group columns), cross-join so every group gets the full schedule —
+    the broadcast-able y table for the iwa-equivalence path."""
+    import math
+
+    p_lo = math.floor((lo - origin) / width)
+    p_hi = math.floor((hi - origin) / width)
+    base = spark.range(p_lo, p_hi + 1).select(
+        F.col("id").alias("period"),
+        (F.lit(origin) + F.col("id") * width).cast("long").alias("start"),
+        (F.lit(origin) + (F.col("id") + 1) * width - 1).cast("long").alias("end"),
+    )
+    if groups is not None:
+        base = groups.crossJoin(base)
+    return base
+
+
+def rollup_regular(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    width: int,
+    origin: int = 0,
+    required_percentage: float = 100.0,
+    partial: bool = False,
+) -> DataFrame:
+    """Roll interval-measured values onto a regular period grid.
+
+    Output (finished mode): ``group_vars…, period, start, end,
+    value_vars…, yduration, xduration, nobs_<v>…, xminstart, xmaxend``
+    — one row per (group, period) with ≥1 overlapping measurement.
+    Periods with no coverage are simply absent (join them from
+    ``period_scaffold`` or use ``gap_fill_locf`` when a dense series is
+    needed — Spark-first: don't materialize empty periods at 10^12
+    scale unless asked).
+
+    Output (partial mode): group_vars…, period, xduration,
+    nobs_<v>/sumprod_<v> per value, xminstart, xmaxend — additive,
+    mergeable with ``merge_partials``/``cascade``.
+    """
+    group_vars = list(group_vars or [])
+    value_vars = list(value_vars)
+    if width <= 0:
+        raise RoleValidationError("width must be a positive number of grid units")
+    s, e = interval_vars
+    w = F.lit(int(width))
+    o = F.lit(int(origin))
+
+    exploded = x.select(
+        *group_vars,
+        F.col(s).cast("long").alias("__xs"),
+        F.col(e).cast("long").alias("__xe"),
+        *[F.col(v).cast("double").alias(f"__v_{v}") for v in value_vars],
+        F.explode(
+            F.sequence(
+                F.floor((F.col(s).cast("long") - o) / w),
+                F.floor((F.col(e).cast("long") - o) / w),
+            )
+        ).alias("period"),
+    )
+    ps = (o + F.col("period") * w).cast("long")
+    pe = (o + (F.col("period") + 1) * w - 1).cast("long")
+    cs = F.greatest(F.col("__xs"), ps)
+    ce = F.least(F.col("__xe"), pe)
+    dur = ce - cs + F.lit(1)
+    weighted = exploded.select(
+        *group_vars,
+        "period",
+        cs.alias("__cs"),
+        ce.alias("__ce"),
+        dur.alias("__dur"),
+        *[
+            F.when(F.col(f"__v_{v}").isNotNull(), dur).otherwise(F.lit(0)).alias(f"__nm_{v}")
+            for v in value_vars
+        ],
+        *[(F.col(f"__v_{v}") * dur).alias(f"__p_{v}") for v in value_vars],
+    )
+    agg = weighted.groupBy(*group_vars, "period").agg(
+        F.sum("__dur").cast("long").alias("xduration"),
+        *[F.sum(f"__nm_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
+        *[F.sum(f"__p_{v}").alias(f"sumprod_{v}") for v in value_vars],
+        F.min("__cs").alias("xminstart"),
+        F.max("__ce").alias("xmaxend"),
+    )
+    if partial:
+        return agg
+    return finalize_rollup(
+        agg,
+        value_vars,
+        group_vars,
+        width=width,
+        origin=origin,
+        required_percentage=required_percentage,
+    )
+
+
+def finalize_rollup(
+    partials: DataFrame,
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    width: int,
+    origin: int = 0,
+    required_percentage: float = 100.0,
+) -> DataFrame:
+    """Project additive partials into the reference output contract:
+    weighted mean + coverage mask (timeperiod_functions.R:319-343)."""
+    group_vars = list(group_vars or [])
+    w = F.lit(int(width))
+    o = F.lit(int(origin))
+    ydur = F.lit(float(width))
+    req = F.lit(float(required_percentage))
+    cols: list[Column] = [
+        *[F.col(g) for g in group_vars],
+        F.col("period"),
+        (o + F.col("period") * w).cast("long").alias("start"),
+        (o + (F.col("period") + 1) * w - 1).cast("long").alias("end"),
+    ]
+    for v in value_vars:
+        mean = F.col(f"sumprod_{v}") / F.col(f"nobs_{v}")
+        cols.append(
+            F.when(F.lit(100.0) * F.col(f"nobs_{v}") / ydur < req, F.lit(None))
+            .otherwise(mean)
+            .cast("double")
+            .alias(v)
+        )
+    cols.append(ydur.alias("yduration"))
+    cols.append(F.col("xduration"))
+    cols.extend(F.col(f"nobs_{v}") for v in value_vars)
+    cols.append(F.col("xminstart"))
+    cols.append(F.col("xmaxend"))
+    return partials.select(*cols)
+
+
+def merge_partials(
+    partials: DataFrame,
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    period_expr: Optional[Column] = None,
+) -> DataFrame:
+    """Re-aggregate additive partials (optionally onto a coarser period
+    via ``period_expr``). Used both for tier cascades and for merging
+    an incremental batch into an existing materialization."""
+    group_vars = list(group_vars or [])
+    df = partials
+    if period_expr is not None:
+        df = df.withColumn("period", period_expr)
+    return df.groupBy(*group_vars, "period").agg(
+        F.sum("xduration").cast("long").alias("xduration"),
+        *[F.sum(f"nobs_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
+        *[F.sum(f"sumprod_{v}").alias(f"sumprod_{v}") for v in value_vars],
+        F.min("xminstart").alias("xminstart"),
+        F.max("xmaxend").alias("xmaxend"),
+    )
+
+
+def cascade(
+    fine_partials: DataFrame,
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    fine_width: int,
+    coarse_width: int,
+) -> DataFrame:
+    """Derive a coarser tier's partials EXACTLY from a finer tier's.
+
+    Requires nesting (coarse_width % fine_width == 0, shared origin):
+    every additive statistic of a coarse period is then the sum of its
+    fine periods' statistics — no raw-data rescan, which is what makes
+    hourly→daily→weekly continuous aggregates cheap at 10^12 scale."""
+    if coarse_width % fine_width != 0:
+        raise RoleValidationError(
+            f"coarse width {coarse_width} must be a multiple of fine width {fine_width}"
+        )
+    factor = coarse_width // fine_width
+    return merge_partials(
+        fine_partials,
+        value_vars,
+        group_vars,
+        period_expr=F.floor(F.col("period") / F.lit(factor)).cast("long"),
+    )
+
+
+def gap_fill_locf(
+    rollup: DataFrame,
+    value_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    width: int,
+    origin: int = 0,
+    span: Optional[tuple[int, int]] = None,
+) -> DataFrame:
+    """Dense gap-filled series with last-observation-carried-forward.
+
+    The reference leaves uncovered periods NULL
+    (timeperiod_functions.R:336); LOCF is an additive, opt-in layer
+    (SURVEY.md §7 M5). Missing periods are materialized from a scaffold
+    over ``span`` (grid units; default = observed min/max start), then
+    each value column gains ``<v>_filled`` (LOCF) and a boolean
+    ``gap_filled`` flag. The scaffold is broadcast against the distinct
+    group set; the LOCF window is one shuffle by group.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    group_vars = list(group_vars or [])
+    spark = rollup.sparkSession
+    if span is None:
+        row = rollup.agg(F.min("start").alias("lo"), F.max("end").alias("hi")).first()
+        if row is None or row["lo"] is None:
+            return rollup
+        span = (int(row["lo"]), int(row["hi"]))
+    groups_df = rollup.select(*group_vars).dropDuplicates() if group_vars else None
+    scaffold = period_scaffold(spark, span[0], span[1], width, origin, groups_df)
+
+    right = rollup.drop("start", "end").withColumnRenamed("period", "__r_period")
+    for g in group_vars:
+        right = right.withColumnRenamed(g, f"__r_{g}")
+    conds = [scaffold["period"] == right["__r_period"]] + [
+        scaffold[g].eqNullSafe(right[f"__r_{g}"]) for g in group_vars
+    ]
+    joined = scaffold.join(right, reduce(lambda a, b: a & b, conds), "left").drop(
+        "__r_period", *[f"__r_{g}" for g in group_vars]
+    )
+
+    w = (
+        (Window.partitionBy(*group_vars) if group_vars else Window.partitionBy(F.lit(1)))
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "gap_filled", F.col("xduration").isNull() | (F.col("xduration") == 0)
+    ).withColumn("xduration", F.coalesce("xduration", F.lit(0)))
+    for v in value_vars:
+        if f"nobs_{v}" in out.columns:
+            out = out.withColumn(f"nobs_{v}", F.coalesce(f"nobs_{v}", F.lit(0)))
+        out = out.withColumn(f"{v}_filled", F.last(v, ignorenulls=True).over(w))
+    return out

@@ -27,6 +27,18 @@ def get_spark(
     (source, bin) keys in the range join (see SURVEY.md §4.3); explicit
     salting (functions.grid.salted_repartition) is the second.
     """
+    # Pandas-UDF closures reference this package by module name; Python
+    # worker processes unpickle them and need the package importable.
+    # Local mode: workers inherit the driver env, so exporting
+    # PYTHONPATH before the JVM starts suffices. Cluster mode: ship the
+    # package with spark-submit --py-files (see jobs/run_tiers.py).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
