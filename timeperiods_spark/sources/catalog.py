@@ -77,13 +77,28 @@ class TierCatalog:
         (pbucket, batch) partitions and nothing else."""
         spark = new_partials.sparkSession
         path = self.tier_path(tier)
-        delta = self._with_parts(new_partials, batch_id)
+        # cluster rows by target partition before writing: without this,
+        # every task opens a file in every pbucket dir (tasks x buckets
+        # small files — measured ~40s of fs overhead per 256M-doc batch)
+        delta = self._with_parts(new_partials, batch_id).repartition("pbucket")
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             delta.write.mode("overwrite").partitionBy("pbucket", "batch").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read_batch_delta(
+        self, spark: SparkSession, tier: str, batch_id: str
+    ) -> DataFrame:
+        """Read back exactly one batch's delta (partition-pruned on the
+        batch column). Used by ingest to cascade coarser tiers from the
+        just-written fine tier instead of recomputing from raw data."""
+        return (
+            spark.read.parquet(self.tier_path(tier))
+            .filter(F.col("batch") == batch_id)
+            .drop("pbucket", "batch")
+        )
 
     def read_partials(self, spark: SparkSession, tier: str) -> DataFrame:
         """Merged view over all deltas — one hash aggregate; pbucket

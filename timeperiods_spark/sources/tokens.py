@@ -42,6 +42,7 @@ def token_table(
     *,
     with_interval: bool = True,
     partitions: int | None = None,
+    doc_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Generate ``n_docs`` deterministic pre-tokenized sequences.
 
@@ -49,11 +50,17 @@ def token_table(
     source (string, skewed), and with ``with_interval`` also
     start_hour / end_hour (int, closed hour-grid interval within one
     year; duration grows with n_tok).
+
+    ``doc_range=(lo, hi)`` generates only that doc_id slice — the
+    batch-ingest path uses it so each batch is a narrow range scan
+    rather than a generate-everything-then-filter (which would
+    string-round-trip every doc_id at 10^12 scale).
     """
+    lo, hi = doc_range if doc_range is not None else (0, n_docs)
     rng = (
-        spark.range(0, n_docs, 1, partitions)
+        spark.range(lo, hi, 1, partitions)
         if partitions
-        else spark.range(n_docs)
+        else spark.range(lo, hi)
     )
     num = rng.selectExpr("id AS doc_id")
     cols = [

@@ -33,6 +33,7 @@ def ingest_batch(
     base_tier: str = "hourly",
     job: Optional[ResumableJob] = None,
     batch_id: Optional[str] = None,
+    collect_counts: bool = False,
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -45,37 +46,50 @@ def ingest_batch(
     value_vars = list(catalog.value_vars)
     group_vars = list(catalog.group_vars)
     base_width = catalog.tiers[base_tier]
-
-    base_partials = rollup_regular(
-        batch,
-        interval_vars,
-        value_vars,
-        group_vars,
-        width=base_width,
-        partial=True,
-    ).cache()
+    spark = batch.sparkSession
     counts: dict[str, int] = {}
-
     bid = batch_id or "adhoc"
 
     def upsert_tier(tier: str) -> dict[str, int]:
         width = catalog.tiers[tier]
         if tier == base_tier:
-            tier_partials = base_partials
+            # the only pass over raw data: one explode + hash aggregate
+            tier_partials = rollup_regular(
+                batch,
+                interval_vars,
+                value_vars,
+                group_vars,
+                width=base_width,
+                partial=True,
+            )
         else:
+            # coarser tiers re-bin the just-written base delta (tiny,
+            # partition-pruned parquet read) — raw data is scanned once
+            # per batch no matter how many tiers exist, and a resumed
+            # run cascades without recomputing the base tier.
             tier_partials = cascade(
-                base_partials,
+                catalog.read_batch_delta(spark, base_tier, bid),
                 value_vars,
                 group_vars,
                 fine_width=base_width,
                 coarse_width=width,
             )
+        import os
+        import time as _t
+
+        _t0 = _t.time()
         catalog.upsert(tier_partials, tier, bid)
-        n = tier_partials.count()
+        if os.environ.get("SPARK_GRAFT_DEBUG_PHASES"):
+            print(f"[phase] {bid}:{tier} upsert {_t.time() - _t0:.1f}s", flush=True)
+        # counting re-executes the tier plan; only pay for it when
+        # lineage metrics explicitly ask (collect_counts)
+        n = tier_partials.count() if collect_counts else -1
         counts[tier] = n
         return {"rows": n, "tier": tier}
 
     ordered = sorted(catalog.tiers, key=catalog.tiers.get)
+    if ordered and ordered[0] != base_tier:
+        raise ValueError(f"base tier {base_tier} must be the finest tier")
     for tier in ordered:
         if catalog.tiers[tier] % base_width != 0:
             raise ValueError(
@@ -86,5 +100,4 @@ def ingest_batch(
             job.run_unit(f"{batch_id}:{tier}", lambda t=tier: upsert_tier(t))
         else:
             upsert_tier(tier)
-    base_partials.unpersist()
     return counts
