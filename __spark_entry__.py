@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_weekly_cascade": q_rollup_weekly_cascade,
         "gap_fill_locf_daily": q_gap_fill_locf,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        **_PIPELINE_QUERIES,
     }
 
 
@@ -769,4 +770,226 @@ def oracle_sql() -> dict[str, str]:
         "rollup_weekly_cascade": _token_rollup_sql(168),
         "gap_fill_locf_daily": SQL_GAP_FILL,
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
+        **_PIPELINE_ORACLES,
     }
+
+
+# --------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# --------------------------------------------------------------------
+
+from timeperiods_spark.functions import texthash as _TH  # noqa: E402
+from timeperiods_spark.operators import textops as _TX  # noqa: E402
+from timeperiods_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_frame,
+)
+from timeperiods_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_lsh,
+    srp_bucket_sql,
+)
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], order_cols=["doc_id"]).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_TH.shingle_hashes_sql('text', 5)} AS hashes FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.hashes, b.hashes)) /
+             (CASE WHEN len(list_distinct(a.hashes || b.hashes)) > 0
+                   THEN len(list_distinct(a.hashes || b.hashes)) END), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.hashes, b.hashes)) /
+      (CASE WHEN len(list_distinct(a.hashes || b.hashes)) > 0
+            THEN len(list_distinct(a.hashes || b.hashes)) END) >= 0.4
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = minhash_candidate_pairs(
+        docs, "doc_id", "text", k=5, n_hashes=12, bands=4, verify_threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_TH.shingle_hashes_sql('text', 5)} AS hashes FROM documents
+),
+nz AS (SELECT * FROM sh WHERE len(hashes) > 0),
+sig AS (
+  SELECT doc_id, hashes,
+         {_TH.minhash_signature_sql('hashes', 12)} AS sig
+  FROM nz
+),
+banded AS (
+  SELECT doc_id, hashes, band, sig[band*3+1 : band*3+3] AS bsig
+  FROM sig CROSS JOIN (SELECT CAST(range AS INT) AS band FROM range(4))
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+withsets AS (
+  SELECT c.id_a, c.id_b, sa.hashes AS h_a, sb.hashes AS h_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(h_a, h_b)) /
+             (CASE WHEN len(list_distinct(h_a || h_b)) > 0
+                   THEN len(list_distinct(h_a || h_b)) END), 6) AS jaccard
+FROM withsets
+WHERE len(list_intersect(h_a, h_b)) /
+      (CASE WHEN len(list_distinct(h_a || h_b)) > 0
+            THEN len(list_distinct(h_a || h_b)) END) >= 0.4
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_frame(docs, "doc_id", "text", k=5, bits=16).select(
+        F.col("id").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+SELECT doc_id, {_TH.simhash_sql(_TH.shingle_hashes_sql('text', 5), 16)} AS simhash
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries_df, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv) /
+         (CASE WHEN sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv)) > 0
+               THEN sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv)) END) AS cosine
+  FROM embeddings c CROSS JOIN q
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_cosine_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_lsh(emb, queries_df, k=10, dim=64, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_COSINE_LSH = f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {srp_bucket_sql('CAST(embedding AS DOUBLE[])', 64, 6)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) /
+         (CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+               THEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) END) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_textops(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        _TX.whitespace_token_count(t).cast("long").alias("ws_tokens"),
+        _TX.bpe_token_count(t).cast("long").alias("bpe_tokens"),
+        F.round(_TX.quality_score(t), _R).alias("quality"),
+        _TX.lang_id(t).alias("lang_pred"),
+        _TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+SQL_TEXTOPS = f"""
+SELECT doc_id,
+       CAST({_TX.whitespace_token_count_sql('text')} AS BIGINT) AS ws_tokens,
+       CAST({_TX.bpe_token_count_sql('text')} AS BIGINT) AS bpe_tokens,
+       ROUND({_TX.quality_score_sql('text')}, 6) AS quality,
+       {_TX.lang_id_sql('text')} AS lang_pred,
+       {_TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+_PIPELINE_QUERIES = {
+    "exact_dedup_docs": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "simhash_fingerprints": q_simhash,
+    "cosine_topk_bruteforce": q_cosine_topk,
+    "cosine_topk_lsh": q_cosine_lsh,
+    "text_analysis": q_textops,
+}
+
+_PIPELINE_ORACLES = {
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+    "simhash_fingerprints": SQL_SIMHASH,
+    "cosine_topk_bruteforce": SQL_COSINE_TOPK,
+    "cosine_topk_lsh": SQL_COSINE_LSH,
+    "text_analysis": SQL_TEXTOPS,
+}

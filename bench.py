@@ -42,6 +42,7 @@ from timeperiods_spark import (  # noqa: E402
     cascade,
     token_table,
 )
+from timeperiods_spark.operators.dedup import minhash_dedup  # noqa: E402
 from timeperiods_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +107,10 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
                 (F.col("rn") + (F.col("l_quantity").cast("long") % 5) + 1).alias("e"))
     )
     run("remove_overlaps", lambda: _count(remove_overlaps(xl, ("s", "e"), ("g",))))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    run("minhash_dedup", lambda: _count(
+        minhash_dedup(docs, "doc_id", "text", verify_threshold=0.5)))
 
     tok = token_table(spark, N_DOCS, partitions=CPUS * 4)
     t0 = time.time()

@@ -1,0 +1,184 @@
+"""Training-data pipeline operators: dedup, similarity, textops,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timeperiods_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from timeperiods_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from timeperiods_spark.operators import textops as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog in the park",
+        "a completely different document about spark query engines",
+        "numbers and symbols 123 456 !!! ??? mixed into text here",
+        "der hund und die katze sind nicht der beste freund",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t + " extra tail words"))  # near-dup
+    rows.append((99, base[0]))  # exact dup of doc 0 text
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 3.0), (3, "b", 1.0)], "id long, k string, v double"
+    )
+    out = exact_dedup(df, ["k"], order_cols=["v", "id"]).orderBy("k").collect()
+    assert [(r["id"], r["k"]) for r in out] == [(2, "a"), (3, "b")]
+
+
+def test_ngram_jaccard_finds_neardups(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # each doc and its +1 variant; doc 0 and its exact copy 99
+    assert (0, 1) in got and (10, 11) in got and (0, 99) in got and (1, 99) in got
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 99)]
+    assert exact[0]["jaccard"] == pytest.approx(1.0)
+    # unrelated docs don't pair
+    assert not any(a // 10 != b // 10 and b != 99 for a, b in got)
+
+
+def test_minhash_recall_and_verify(docs):
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 99) in cand  # identical docs always collide
+    verified = minhash_candidate_pairs(
+        docs, "doc_id", "text", verify_threshold=0.5
+    ).collect()
+    vd = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vd[(0, 99)] == pytest.approx(1.0)
+    for (a, b), j in vd.items():
+        assert j >= 0.5
+
+
+def test_minhash_dedup_drops_copies(docs):
+    kept = minhash_dedup(docs, "doc_id", "text", verify_threshold=0.9)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 99 not in ids  # canonical smallest id survives
+
+
+def test_simhash_pairs(docs):
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 99)) == 0  # identical text -> identical simhash
+
+
+def _embeddings(spark, n=80, dim=8, seed=190):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    corpus = _embeddings(spark)
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 5
+        # a vector's own nearest neighbor is itself, cosine 1
+        assert rows[0]["vec_id"] == q and rows[0]["cosine"] == pytest.approx(1.0)
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_cosine_lsh_subset_of_exact_bucket(spark):
+    corpus = _embeddings(spark, dim=8)
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = cosine_topk_lsh(corpus, queries, k=5, dim=8, n_planes=4).collect()
+    # self-match always lands in its own bucket
+    selfs = {r["query_id"] for r in approx if r["vec_id"] == r["query_id"]}
+    assert selfs == {0, 1}
+    # approx scores must be a subset of exact scores per query
+    exact = cosine_topk(corpus, queries, k=80).collect()
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        assert exact_scores[(r["query_id"], r["vec_id"])] == pytest.approx(r["cosine"])
+
+
+def test_textops_basics(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog. It is here to stay, truly!"), (1, "   "), (2, "der hund und die katze ist nicht da")],
+        "id int, t string",
+    )
+    out = df.select(
+        "id",
+        TX.whitespace_token_count(F.col("t")).alias("ws"),
+        TX.bpe_token_count(F.col("t")).alias("bpe"),
+        TX.quality_score(F.col("t")).alias("q"),
+        TX.lang_id(F.col("t")).alias("lang"),
+        TX.fingerprint(F.col("t")).alias("fp"),
+    ).orderBy("id").collect()
+    assert out[0]["lang"] == "en" and out[2]["lang"] == "de"
+    assert out[0]["ws"] == 11 and out[0]["bpe"] == 14
+    # whitespace-only: all gates fail except punct (no punctuation soup)
+    assert out[1]["ws"] == 0 and out[1]["q"] == 0.25
+    assert 0.0 <= out[0]["q"] <= 1.0 and out[0]["q"] >= 0.75
+    # fingerprint is whitespace/case-insensitive but content-sensitive
+    df2 = spark.createDataFrame(
+        [(0, "THE cat   and the dog. It is here to stay, truly!"), (1, "the cat and the dog. it is here to stay, truly?")],
+        "id int, t string",
+    )
+    fps = [r["fp"] for r in df2.select(TX.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == out[0]["fp"] and fps[1] != out[0]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 20, kind="video")
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 20
+    for r in feats:
+        v = np.array(r["feature"])
+        assert len(v) == 16 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert r["n_bytes"] >= 256
+    # determinism across recompute
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=16).collect()}
+    for r in feats:
+        assert list(again[r["media_id"]]) == list(r["feature"])
+    # real codec is stubbed: must raise, not silently fake
+    with pytest.raises(Exception) as exc:
+        extract_features(media, codec="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+    frames = frame_sample(media, every=2)
+    rows = frames.collect()
+    assert all(len(r["frame_bytes"]) > 0 for r in rows)
+    n_by_media = {}
+    for r in rows:
+        n_by_media[r["media_id"]] = n_by_media.get(r["media_id"], 0) + 1
+    med = media.select("media_id", "meta.n_frames").collect()
+    for r in med:
+        assert n_by_media[r["media_id"]] == math.ceil(r["n_frames"] / 2)

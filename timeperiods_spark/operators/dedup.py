@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH banding, and SimHash — all as
+native DataFrame expressions (no Python in the hot path). Hashing comes
+from functions.texthash so every operator here has a bit-identical
+ANSI-SQL twin for oracle verification; production runs can pass
+``hash_fn="xxhash64"`` where cross-engine determinism isn't needed.
+
+Scale design (the 100 TB case):
+- Exact dedup is one hash aggregate — shuffle keyed by the dedup key.
+- MinHash candidate generation shuffles on (band_id, band_signature):
+  high cardinality, naturally even; each bucket's pair fan-out is
+  bounded by bucket size, and near-duplicate clusters are exactly the
+  skew you WANT co-located. The band join is a self equi join, never a
+  cross join.
+- Verification (exact Jaccard on candidate pairs) touches only
+  candidate pairs, not the n^2 space.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import texthash as TH
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep exactly one row per key; survivor chosen by ``order_cols``
+    (deterministic, unlike dropDuplicates' arbitrary first-seen row)."""
+    key_cols = list(key_cols)
+    order_cols = list(order_cols or df.columns)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """(id, shingle_hashes array<long>) — shared prep for the near-dup
+    operators (compute once, reuse across minhash/simhash/jaccard)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        TH.shingle_hashes_spark(F.col(text_col), k).alias("hashes"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All pairs with exact shingle-set Jaccard >= threshold.
+
+    O(n^2) candidate space — the brute-force baseline for small-to-mid
+    corpora and the verification oracle for the LSH path. Columns:
+    id_a, id_b (id_a < id_b), jaccard."""
+    sh = shingle_frame(df, id_col, text_col, k)
+    a = sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (inter / F.when(union > 0, union)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: Optional[float] = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one MinHash band.
+
+    shingle → minhash signature → split into ``bands`` bands of
+    ``n_hashes/bands`` rows → self equi join on (band, band signature).
+    With ``verify_threshold``, candidates are re-checked with exact
+    shingle Jaccard (computed only for candidates). Output: id_a, id_b
+    (id_a < id_b) [+ jaccard when verifying]."""
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
+    sig = sh.select(
+        "id",
+        "hashes",
+        TH.minhash_signature_spark(F.col("hashes"), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "hashes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice("sig", bi * r + 1, r).cast("array<long>").alias("bsig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "hashes", "bb.band", "bb.bsig")
+
+    left = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("hashes").alias("h_a"),
+        F.col("band").alias("band_a"),
+        F.col("bsig").alias("bsig_a"),
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bsig").alias("bsig_b"),
+        F.col("hashes").alias("h_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bsig_a") == F.col("bsig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold is None:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
+    return cand.select(
+        "id_a", "id_b", (inter / F.when(union > 0, union)).alias("jaccard")
+    ).filter(F.col("jaccard") >= verify_threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.7,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each duplicate
+    pair-cluster (single-hop canonicalization: b is dropped if ANY
+    a < b matched it; full connected components would need an iterative
+    pass — documented simplification, standard for web-scale dedup)."""
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
+        verify_threshold=verify_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_frame(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — bit-majority fingerprint over shingle hashes."""
+    sh = shingle_frame(df, id_col, text_col, k)
+    return sh.select("id", TH.simhash_spark(F.col("hashes"), bits).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits``-wide fingerprint
+    into ``bands`` chunks, equi-join on any matching chunk (guarantees
+    recall for hamming distance < bands), then filter exact hamming
+    <= max_hamming via bit_count(xor). Columns: id_a, id_b, hamming."""
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    w = bits // bands
+    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits)
+    banded = sf.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("s_a"),
+        F.col("band").alias("band_a"), F.col("chunk").alias("chunk_a"),
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("s_b"),
+        F.col("band").alias("band_b"), F.col("chunk").alias("chunk_b"),
+    )
+    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return (
+        left.join(
+            right,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
