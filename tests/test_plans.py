@@ -1,0 +1,130 @@
+"""Physical-plan assertions — the 100 TB safety net.
+
+These tests pin the plan SHAPES that make the engine viable at scale;
+a regression here (e.g. a range join degenerating to a nested-loop, or
+a filter no longer reaching the parquet scan) is a performance bug even
+while every value-level test stays green.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark import (
+    TierCatalog,
+    ingest_batch,
+    interval_weighted_avg,
+    rollup_regular,
+    token_table,
+)
+from timeperiods_spark.operators.overlaps import remove_overlaps
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def xy(spark):
+    x = spark.createDataFrame(
+        [(1, 0, 9, 1.0), (2, 10, 19, 2.0)], "g int, s long, e long, v double"
+    )
+    y = spark.createDataFrame([(1, 0, 4), (2, 5, 9)], "g int, s long, e long")
+    return x, y
+
+
+def test_group_equi_is_hash_or_merge_join(xy):
+    x, y = xy
+    p = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), ("g",), validate=False, assume_y_distinct=True
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_broadcast_y_uses_broadcast_hash_join(xy):
+    x, y = xy
+    p = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), ("g",),
+            validate=False, assume_y_distinct=True, join_strategy="broadcast_y",
+        )
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bin_join_never_cartesian(spark):
+    x = spark.createDataFrame([(0, 9, 1.0), (10, 19, 2.0)], "s long, e long, v double")
+    y = spark.createDataFrame([(0, 4), (5, 9)], "s long, e long")
+    p = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), None,
+            validate=False, assume_y_distinct=True,
+            join_strategy="bin", bin_width=4,
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_remove_overlaps_bin_never_cartesian(spark):
+    x = spark.createDataFrame([(1, 5), (3, 9), (8, 12)], "s long, e long")
+    p = _plan(remove_overlaps(x, ("s", "e"), bin_width=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_rollup_has_single_exchange_and_partial_agg(spark):
+    r = rollup_regular(
+        token_table(spark, 1000),
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=24,
+        partial=True,
+    )
+    p = _plan(r)
+    # map-side partial + final aggregate around exactly one shuffle
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in p
+    # no join anywhere on the regular-grid path
+    assert "Join" not in p
+
+
+def test_catalog_read_pushes_down(spark, tmp_path):
+    cat = TierCatalog(str(tmp_path / "c"), ("n_tok",), ("source",))
+    ingest_batch(cat, token_table(spark, 2000), ("start_hour", "end_hour"), batch_id="b")
+    fin = (
+        cat.read_finished(spark, "daily", 0.0)
+        .filter("period BETWEEN 100 AND 120")
+        .select("source", "period", "n_tok")
+    )
+    p = _plan(fin)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "period" in m.group(1), p[:800]
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m2 is not None
+    cols = {c.split(":")[0] for c in m2.group(1).split(",")}
+    # only the columns the projection needs are read — min/max/xduration
+    # must be pruned away
+    assert "xminstart" not in cols and "xmaxend" not in cols, cols
+
+
+def test_iwa_projection_prunes_value_columns(spark, xy):
+    """Selecting only coverage columns must prune the value column from
+    the measurement scan (Catalyst column pruning through the operator)."""
+    x, y = xy
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("g",), validate=False, assume_y_distinct=True
+    ).select("g", "s", "e", "xduration")
+    p = _plan(out)
+    assert "CartesianProduct" not in p
