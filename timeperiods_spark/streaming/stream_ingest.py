@@ -1,0 +1,106 @@
+"""Structured Streaming front-ends for the tier catalog.
+
+The reference is batch-only (SURVEY.md §2.3); the retention tiers are
+continuous aggregates = repeated incremental batch. Two idiomatic
+Spark bridges are provided:
+
+``stream_ingest``
+    readStream over a growing file/table source → ``foreachBatch`` →
+    the SAME ``ingest_batch`` used for batch loads, with the micro-batch
+    epoch as the lineage/delta batch id. Spark's streaming checkpoint
+    tracks which source files were consumed; the catalog's batch-delta
+    layout makes epoch replays (after a crash between checkpoint and
+    commit) idempotent. Exactly-once end to end without any new
+    machinery — this is the recommended production path.
+
+``windowed_rollup_stream``
+    A pure Structured Streaming event-time aggregation with a watermark,
+    for point-event sources (one timestamp per row, not intervals):
+    window(ts, width) + additive partials, append mode after the
+    watermark closes each window. Demonstrates the native streaming
+    operator surface; interval-valued measurements still go through
+    ``stream_ingest`` (windows can't split a row across periods —
+    that overlap-weighting is exactly what the batch core does).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..runner import ResumableJob
+from ..sources.catalog import TierCatalog
+from .continuous import ingest_batch
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    catalog: TierCatalog,
+    interval_vars: Sequence[str],
+    *,
+    checkpoint_dir: str,
+    manifest_dir: Optional[str] = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest parquet files appearing under ``source_path``
+    into every tier of ``catalog``. With ``available_now`` the query
+    drains the currently-available input and stops (the batch-refresh
+    cadence pattern); otherwise it runs until stopped."""
+    job = ResumableJob(manifest_dir) if manifest_dir else None
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            catalog,
+            batch_df,
+            interval_vars,
+            job=job,
+            batch_id=f"epoch{epoch_id}",
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time rollup of a point-event stream: additive
+    partials per (group, window), append-mode-ready. Late rows beyond
+    the watermark are dropped by Spark's state store — the streaming
+    analog of required_percentage accounting is carried by n_events
+    vs the expected density, decided downstream."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.window(ts_col, window_duration).alias("win"))
+        .agg(
+            F.count(value_col).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            *group_cols,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+            "first_ts",
+            "last_ts",
+        )
+    )
