@@ -89,7 +89,15 @@ def main(argv=None) -> dict:
             spark, args.n_docs, partitions=n_parts, doc_range=(lo, hi)
         )
         counts = ingest_batch(
-            catalog, batch, ("start_hour", "end_hour"), job=job, batch_id=f"batch{i}"
+            catalog,
+            batch,
+            ("start_hour", "end_hour"),
+            job=job,
+            batch_id=f"batch{i}",
+            # source ids are 'src_<n>': aggregate on the int, re-attach
+            # the string on the 96k-row partials (string group keys fall
+            # off Spark's fixed-width agg fast path — see PLAN_NOTES.md)
+            group_encoders={"source": F.substring("source", 5, 3).cast("int")},
         )
         total_rows += sum(counts.values())
     if args.compact:

@@ -215,3 +215,27 @@ def test_gap_fill_locf_null_before_first(spark):
     rows = filled.collect()
     assert rows[0]["v_filled"] is None and rows[0]["gap_filled"]
     assert rows[2]["v_filled"] == 5.0
+
+
+def test_group_encoders_exact_and_guarded(spark, tok):
+    """Expression-encoded group keys: identical output; non-1:1 encoder
+    must raise, not silently merge groups (decode-join fanout guard)."""
+    enc = {"source": F.substring("source", 5, 3).cast("int")}
+    kw = dict(width=24, required_percentage=0.0)
+    a = rollup_regular(tok, ("start_hour", "end_hour"), ("n_tok",), ("source",), **kw)
+    b = rollup_regular(
+        tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        group_encoders=enc, **kw,
+    )
+    c = rollup_regular(
+        tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        dict_encode_groups=True, **kw,
+    )
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert ra == sorted(map(tuple, c.collect()))
+    with pytest.raises(Exception, match="1:1"):
+        rollup_regular(
+            tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+            width=24, partial=True, group_encoders={"source": F.lit(1)},
+        ).count()

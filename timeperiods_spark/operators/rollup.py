@@ -73,6 +73,8 @@ def rollup_regular(
     origin: int = 0,
     required_percentage: float = 100.0,
     partial: bool = False,
+    dict_encode_groups: bool = False,
+    group_encoders: Optional[dict] = None,
 ) -> DataFrame:
     """Roll interval-measured values onto a regular period grid.
 
@@ -96,6 +98,65 @@ def rollup_regular(
     w = F.lit(int(width))
     o = F.lit(int(origin))
 
+    # String group keys keep Spark's hash aggregate off the fixed-width
+    # fast map (UnsafeFixedWidthAggregationMap needs fixed-width keys),
+    # which measured 4x slower and ANTI-scaling at 16 threads on the
+    # 256M-doc hourly rollup. Two remedies, both exact:
+    # - group_encoders={"col": int_expression}: swap the string for an
+    #   expression-derived int key (the caller knows its id scheme —
+    #   e.g. source 'src_7' -> 7); cheapest, pure map-side. The original
+    #   values are re-attached by joining the tiny distinct dim onto the
+    #   AGGREGATED output (96k rows, not 1.2B).
+    # - dict_encode_groups=True: no encoder known -> build the dim from
+    #   a distinct pass and broadcast-swap before the aggregate. Exact
+    #   but pays a per-row string join probe; still ~2x at high thread
+    #   counts. Opt-in: a high-cardinality group would bloat the dim.
+    dim = None
+    user_group_vars = list(group_vars)
+    if group_vars and group_encoders:
+        from pyspark.sql import Window as _W
+
+        enc_cols = [c for c in group_vars if c in group_encoders]
+        dim = x.select(*group_vars).dropDuplicates()
+        for c in enc_cols:
+            dim = dim.withColumn(f"__e_{c}", group_encoders[c])
+            x = x.withColumn(f"__e_{c}", group_encoders[c]).drop(c)
+        group_vars = [f"__e_{c}" if c in group_encoders else c for c in group_vars]
+        # a non-1:1 encoder would merge groups in the aggregate and then
+        # FAN OUT the decode join — silently wrong results. Guard inside
+        # the dim plan itself (runtime assert, no extra Spark action):
+        # every encoded key must map to exactly one original group row.
+        # The assert is threaded THROUGH an output column — a dropped
+        # assert column would be pruned as dead code by Catalyst.
+        dup = F.count(F.lit(1)).over(_W.partitionBy(*group_vars))
+        first_enc = f"__e_{enc_cols[0]}"
+        dim = dim.withColumn(
+            first_enc,
+            F.when(
+                F.assert_true(
+                    dup == F.lit(1),
+                    F.lit("group_encoders must be 1:1 with the group values"),
+                ).isNull(),
+                F.col(first_enc),
+            ),
+        )
+    elif dict_encode_groups and group_vars and any(
+        f.name in group_vars and f.dataType.simpleString() == "string"
+        for f in x.schema.fields
+    ):
+        from pyspark.sql import Window as _W
+
+        dim = (
+            x.select(*group_vars)
+            .dropDuplicates()
+            .withColumn(
+                "__gid",
+                F.row_number().over(_W.partitionBy(F.lit(1)).orderBy(*group_vars)),
+            )
+        )
+        x = x.join(F.broadcast(dim), list(group_vars)).drop(*group_vars)
+        group_vars = ["__gid"]
+
     exploded = x.select(
         *group_vars,
         F.col(s).cast("long").alias("__xs"),
@@ -108,11 +169,20 @@ def rollup_regular(
             )
         ).alias("period"),
     )
-    ps = (o + F.col("period") * w).cast("long")
-    pe = (o + (F.col("period") + 1) * w - 1).cast("long")
-    cs = F.greatest(F.col("__xs"), ps)
-    ce = F.least(F.col("__xe"), pe)
-    dur = ce - cs + F.lit(1)
+    if width == 1:
+        # unit-width special case (the hourly base tier hot path):
+        # every period is a single grid cell, so clip start = clip end
+        # = the cell itself and duration is 1 — drops several per-row
+        # expressions from the 10^9-row exploded stream.
+        cs = (o + F.col("period")).cast("long")
+        ce = cs
+        dur = F.lit(1).cast("long")
+    else:
+        ps = (o + F.col("period") * w).cast("long")
+        pe = (o + (F.col("period") + 1) * w - 1).cast("long")
+        cs = F.greatest(F.col("__xs"), ps)
+        ce = F.least(F.col("__xe"), pe)
+        dur = ce - cs + F.lit(1)
     weighted = exploded.select(
         *group_vars,
         "period",
@@ -132,12 +202,31 @@ def rollup_regular(
         F.min("__cs").alias("xminstart"),
         F.max("__ce").alias("xmaxend"),
     )
+    if dim is not None:
+        decode_keys = (
+            [f"__e_{c}" for c in user_group_vars if c in (group_encoders or {})]
+            if group_encoders
+            else ["__gid"]
+        )
+        agg = (
+            agg.join(F.broadcast(dim), decode_keys)
+            .drop(*decode_keys)
+            .select(
+                *user_group_vars,
+                "period",
+                "xduration",
+                *[f"nobs_{v}" for v in value_vars],
+                *[f"sumprod_{v}" for v in value_vars],
+                "xminstart",
+                "xmaxend",
+            )
+        )
     if partial:
         return agg
     return finalize_rollup(
         agg,
         value_vars,
-        group_vars,
+        user_group_vars,
         width=width,
         origin=origin,
         required_percentage=required_percentage,

@@ -34,6 +34,7 @@ def ingest_batch(
     job: Optional[ResumableJob] = None,
     batch_id: Optional[str] = None,
     collect_counts: bool = False,
+    group_encoders: Optional[dict] = None,
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -61,6 +62,7 @@ def ingest_batch(
                 group_vars,
                 width=base_width,
                 partial=True,
+                group_encoders=group_encoders,
             )
         else:
             # coarser tiers re-bin the just-written base delta (tiny,
