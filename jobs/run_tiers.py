@@ -98,6 +98,10 @@ def main(argv=None) -> dict:
             # the string on the 96k-row partials (string group keys fall
             # off Spark's fixed-width agg fast path — see PLAN_NOTES.md)
             group_encoders={"source": F.substring("source", 5, 3).cast("int")},
+            # token counts are integer-valued: the boundary-sweep rollup
+            # (2 delta rows/doc instead of `duration` exploded cells) is
+            # exact — see rollup_regular(algorithm=)
+            algorithm="sweep",
         )
         total_rows += sum(counts.values())
     if args.compact:

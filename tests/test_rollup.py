@@ -239,3 +239,28 @@ def test_group_encoders_exact_and_guarded(spark, tok):
             tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
             width=24, partial=True, group_encoders={"source": F.lit(1)},
         ).count()
+
+
+def test_sweep_algorithm_parity(spark, tok):
+    """Boundary-sweep backend == explode backend, width 1, both encodes,
+    null values, negative origin."""
+    for kwargs in (dict(), dict(group_encoders={"source": F.substring("source", 5, 3).cast("int")})):
+        a = rollup_regular(
+            tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+            width=1, partial=True, **kwargs,
+        )
+        b = rollup_regular(
+            tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+            width=1, partial=True, algorithm="sweep", **kwargs,
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    x = spark.createDataFrame(
+        [("a", -5, 3, None), ("a", 1, 7, 2.0), ("b", 0, 0, 1.5)],
+        "g string, s int, e int, v double",
+    )
+    p = rollup_regular(x, ("s", "e"), ("v",), ("g",), width=1, partial=True, origin=-10)
+    q = rollup_regular(
+        x, ("s", "e"), ("v",), ("g",), width=1, partial=True, origin=-10,
+        algorithm="sweep",
+    )
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, q.collect()))

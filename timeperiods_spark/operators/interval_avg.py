@@ -222,6 +222,7 @@ def interval_weighted_avg(
     join_strategy: str = "auto",
     bin_width: Optional[int] = None,
     skew_salt: Optional[int] = None,
+    sort_output: bool = False,
 ) -> DataFrame:
     """Average interval-measured values onto an arbitrary period schedule.
 
@@ -336,7 +337,20 @@ def interval_weighted_avg(
     joined = yd.join(agg_r, cond, "left")
 
     ydur = (F.col("__ye") - F.col("__ys") + F.lit(1)).cast("double")
-    xdur = F.coalesce(F.col("__xdur"), F.lit(0)).cast("long")
+    # O11 sanity invariant (reference stopifnot, timeperiod_functions.R:337):
+    # overlapped duration can never exceed the period length. Threaded
+    # through the output column (a dropped assert would be pruned); fires
+    # at runtime, e.g. if a caller bypasses the overlap check on
+    # overlapping x. Costs one comparison per output row.
+    xdur_raw = F.coalesce(F.col("__xdur"), F.lit(0)).cast("long")
+    xdur = F.when(
+        F.assert_true(
+            xdur_raw <= ydur,
+            F.lit("internal invariant violated: xduration > yduration "
+                  "(overlapping x intervals slipped past the check?)"),
+        ).isNull(),
+        xdur_raw,
+    )
     req = F.lit(float(required_percentage))
 
     out_cols: list[Column] = []
@@ -358,4 +372,11 @@ def interval_weighted_avg(
     out_cols.append(_ungrid(F.col("__minstart"), ivl_dtype).alias("xminstart"))
     out_cols.append(_ungrid(F.col("__maxend"), ivl_dtype).alias("xmaxend"))
 
-    return joined.select(*out_cols)
+    out = joined.select(*out_cols)
+    if sort_output:
+        # O14: the reference returns keyed by (group, start, end)
+        # (timeperiod_functions.R:310, :521). Opt-in here — a global
+        # sort is a range exchange worth paying only for fixture
+        # determinism or sorted sinks.
+        out = out.orderBy(*group_vars, *interval_vars)
+    return out

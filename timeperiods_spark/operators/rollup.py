@@ -75,6 +75,7 @@ def rollup_regular(
     partial: bool = False,
     dict_encode_groups: bool = False,
     group_encoders: Optional[dict] = None,
+    algorithm: str = "explode",
 ) -> DataFrame:
     """Roll interval-measured values onto a regular period grid.
 
@@ -169,39 +170,68 @@ def rollup_regular(
             )
         ).alias("period"),
     )
+    if width == 1 and algorithm == "sweep":
+        # Difference-array sweep: instead of exploding every interval to
+        # its `duration` cells (sum(dur) rows ≈ 5x n_docs here, unbounded
+        # for long intervals), emit TWO boundary deltas per row
+        # (+ at start, - at end+1), aggregate deltas by (group, cell)
+        # — the only big shuffle, ≤ 2 rows/doc — then prefix-sum over
+        # the tiny period domain with a window and re-expand the runs
+        # (bounded by the OUTPUT size, not the input). Exact for
+        # integer-valued series (long/ints stored as double stay exact
+        # in +/- cumsums below 2^53); for arbitrary doubles the +v/-v
+        # cancellation can leave ~1ulp residue, hence opt-in.
+        return _rollup_sweep_unit(
+            x, s, e, value_vars, group_vars, user_group_vars, dim,
+            group_encoders, origin, partial, required_percentage,
+        )
     if width == 1:
-        # unit-width special case (the hourly base tier hot path):
-        # every period is a single grid cell, so clip start = clip end
-        # = the cell itself and duration is 1 — drops several per-row
-        # expressions from the 10^9-row exploded stream.
-        cs = (o + F.col("period")).cast("long")
-        ce = cs
-        dur = F.lit(1).cast("long")
+        # Unit-width special case (the hourly base tier hot path): every
+        # period is a single grid cell, so duration is 1, the clipped
+        # bounds equal the cell itself (CONSTANT within each aggregation
+        # group), weights collapse to counts, and products to plain
+        # sums. The 10^9-row aggregate runs with count/sum only; the
+        # min/max columns are projected back as expressions afterwards.
+        agg = exploded.groupBy(*group_vars, "period").agg(
+            F.count(F.lit(1)).alias("xduration"),
+            *[F.count(f"__v_{v}").alias(f"nobs_{v}") for v in value_vars],
+            *[F.sum(f"__v_{v}").alias(f"sumprod_{v}") for v in value_vars],
+        )
+        cell = (o + F.col("period")).cast("long")
+        agg = agg.withColumn("xminstart", cell).withColumn("xmaxend", cell).select(
+            *group_vars,
+            "period",
+            "xduration",
+            *[f"nobs_{v}" for v in value_vars],
+            *[f"sumprod_{v}" for v in value_vars],
+            "xminstart",
+            "xmaxend",
+        )
     else:
         ps = (o + F.col("period") * w).cast("long")
         pe = (o + (F.col("period") + 1) * w - 1).cast("long")
         cs = F.greatest(F.col("__xs"), ps)
         ce = F.least(F.col("__xe"), pe)
         dur = ce - cs + F.lit(1)
-    weighted = exploded.select(
-        *group_vars,
-        "period",
-        cs.alias("__cs"),
-        ce.alias("__ce"),
-        dur.alias("__dur"),
-        *[
-            F.when(F.col(f"__v_{v}").isNotNull(), dur).otherwise(F.lit(0)).alias(f"__nm_{v}")
-            for v in value_vars
-        ],
-        *[(F.col(f"__v_{v}") * dur).alias(f"__p_{v}") for v in value_vars],
-    )
-    agg = weighted.groupBy(*group_vars, "period").agg(
-        F.sum("__dur").cast("long").alias("xduration"),
-        *[F.sum(f"__nm_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
-        *[F.sum(f"__p_{v}").alias(f"sumprod_{v}") for v in value_vars],
-        F.min("__cs").alias("xminstart"),
-        F.max("__ce").alias("xmaxend"),
-    )
+        weighted = exploded.select(
+            *group_vars,
+            "period",
+            cs.alias("__cs"),
+            ce.alias("__ce"),
+            dur.alias("__dur"),
+            *[
+                F.when(F.col(f"__v_{v}").isNotNull(), dur).otherwise(F.lit(0)).alias(f"__nm_{v}")
+                for v in value_vars
+            ],
+            *[(F.col(f"__v_{v}") * dur).alias(f"__p_{v}") for v in value_vars],
+        )
+        agg = weighted.groupBy(*group_vars, "period").agg(
+            F.sum("__dur").cast("long").alias("xduration"),
+            *[F.sum(f"__nm_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
+            *[F.sum(f"__p_{v}").alias(f"sumprod_{v}") for v in value_vars],
+            F.min("__cs").alias("xminstart"),
+            F.max("__ce").alias("xmaxend"),
+        )
     if dim is not None:
         decode_keys = (
             [f"__e_{c}" for c in user_group_vars if c in (group_encoders or {})]
@@ -229,6 +259,112 @@ def rollup_regular(
         user_group_vars,
         width=width,
         origin=origin,
+        required_percentage=required_percentage,
+    )
+
+
+def _rollup_sweep_unit(
+    x: DataFrame,
+    s: str,
+    e: str,
+    value_vars: Sequence[str],
+    group_vars: Sequence[str],
+    user_group_vars: Sequence[str],
+    dim: Optional[DataFrame],
+    group_encoders: Optional[dict],
+    origin: int,
+    partial: bool,
+    required_percentage: float,
+) -> DataFrame:
+    """Width-1 sweep backend for rollup_regular (see caller comment)."""
+    from pyspark.sql import Window as _W
+
+    group_vars = list(group_vars)
+    value_vars = list(value_vars)
+    o = F.lit(int(origin))
+
+    # One explode(sequence(0,1)) per row, signs/cells derived from the
+    # index. A union of two projections would avoid the tiny per-row
+    # array allocation but SCANS THE SOURCE TWICE — the wrong trade for
+    # a 100 TB input; this keeps exactly one pass.
+    start_cell = (F.col(s).cast("long") - o).cast("long")
+    end_cell_excl = (F.col(e).cast("long") - o + 1).cast("long")
+    side = x.select(
+        *group_vars,
+        start_cell.alias("__p0"),
+        end_cell_excl.alias("__p1"),
+        *[F.col(v).cast("double").alias(f"__v_{v}") for v in value_vars],
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("__i"),
+    )
+    sign = (F.lit(1) - 2 * F.col("__i")).cast("long")  # 0 -> +1, 1 -> -1
+    bcols = [
+        *group_vars,
+        F.when(F.col("__i") == 0, F.col("__p0")).otherwise(F.col("__p1")).alias("period"),
+        sign.alias("__dc"),
+    ]
+    for v in value_vars:
+        vc = F.col(f"__v_{v}")
+        bcols.append(
+            (F.when(vc.isNotNull(), F.lit(1)).otherwise(F.lit(0)) * sign)
+            .cast("long").alias(f"__dn_{v}")
+        )
+        bcols.append((F.coalesce(vc, F.lit(0.0)) * sign).alias(f"__ds_{v}"))
+    boundary = side.select(*bcols)
+
+    agg = boundary.groupBy(*group_vars, "period").agg(
+        F.sum("__dc").alias("__dc"),
+        *[F.sum(f"__dn_{v}").alias(f"__dn_{v}") for v in value_vars],
+        *[F.sum(f"__ds_{v}").alias(f"__ds_{v}") for v in value_vars],
+    )
+
+    w = (
+        _W.partitionBy(*group_vars) if group_vars else _W.partitionBy(F.lit(1))
+    ).orderBy("period")
+    wsum = w.rowsBetween(_W.unboundedPreceding, 0)
+    runs = agg.select(
+        *group_vars,
+        "period",
+        F.lead("period").over(w).alias("__next"),
+        F.sum("__dc").over(wsum).alias("__rc"),
+        *[F.sum(f"__dn_{v}").over(wsum).alias(f"__rn_{v}") for v in value_vars],
+        *[F.sum(f"__ds_{v}").over(wsum).alias(f"__rs_{v}") for v in value_vars],
+    ).filter(F.col("__rc") > 0)
+
+    cells = runs.select(
+        *group_vars,
+        F.explode(F.sequence("period", F.col("__next") - 1)).alias("period"),
+        F.col("__rc").cast("long").alias("xduration"),
+        *[F.col(f"__rn_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
+        # parity with the explode path: a run with zero non-null values
+        # has sumprod NULL (sum over no rows), not the coalesced 0.0
+        *[
+            F.when(F.col(f"__rn_{v}") > 0, F.col(f"__rs_{v}")).alias(f"sumprod_{v}")
+            for v in value_vars
+        ],
+    )
+    cell = (o + F.col("period")).cast("long")
+    out = cells.withColumn("xminstart", cell).withColumn("xmaxend", cell)
+
+    if dim is not None:
+        decode_keys = (
+            [f"__e_{c}" for c in user_group_vars if c in (group_encoders or {})]
+            if group_encoders
+            else ["__gid"]
+        )
+        out = out.join(F.broadcast(dim), decode_keys).drop(*decode_keys)
+    out = out.select(
+        *user_group_vars,
+        "period",
+        "xduration",
+        *[f"nobs_{v}" for v in value_vars],
+        *[f"sumprod_{v}" for v in value_vars],
+        "xminstart",
+        "xmaxend",
+    )
+    if partial:
+        return out
+    return finalize_rollup(
+        out, value_vars, user_group_vars, width=1, origin=origin,
         required_percentage=required_percentage,
     )
 

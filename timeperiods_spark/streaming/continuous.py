@@ -35,6 +35,7 @@ def ingest_batch(
     batch_id: Optional[str] = None,
     collect_counts: bool = False,
     group_encoders: Optional[dict] = None,
+    algorithm: str = "explode",
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -63,6 +64,7 @@ def ingest_batch(
                 width=base_width,
                 partial=True,
                 group_encoders=group_encoders,
+                algorithm=algorithm,
             )
         else:
             # coarser tiers re-bin the just-written base delta (tiny,
