@@ -31,7 +31,11 @@ def timestamp_to_grid(col: Column | str, unit: str = "hour") -> Column:
     if unit not in GRID_SECONDS:
         raise ValueError(f"unit must be one of {sorted(GRID_SECONDS)}")
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c.cast("long") / F.lit(GRID_SECONDS[unit])).cast("long")
+    # TIMESTAMP_NTZ (what parquet timestamps read back as) cannot cast
+    # straight to BIGINT; route through TIMESTAMP (session TZ is pinned
+    # to UTC in get_spark, so wall-clock == epoch semantics).
+    secs = c.cast("timestamp").cast("long")
+    return F.floor(secs / F.lit(GRID_SECONDS[unit])).cast("long")
 
 
 def grid_to_timestamp(col: Column | str, unit: str = "hour") -> Column:
