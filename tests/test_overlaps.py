@@ -119,13 +119,10 @@ def test_pipeline_remove_then_average(spark):
             xrows.append((g, int(a), int(b), float(rng.normal())))
     x = spark.createDataFrame(xrows, "g int, start int, end int, value double")
 
+    # payload (value) is carried through the decomposition by default —
+    # no join-back on (g, o_start, o_end) needed
     atomic = remove_overlaps(x, ("start", "end"), ("g",))
-    # join values back by original interval, then average duplicates
-    xx = atomic.join(
-        x.withColumnsRenamed({"start": "o_start", "end": "o_end"}),
-        ["g", "o_start", "o_end"],
-    )
-    clean = xx.groupBy("g", "start", "end").agg(F.avg("value").alias("value"))
+    clean = atomic.groupBy("g", "start", "end").agg(F.avg("value").alias("value"))
     assert check_no_overlaps(clean, ("start", "end"), ("g",))
 
     yrows = [(g, s, s + 13) for g in range(3) for s in range(0, 300, 14)]
@@ -186,6 +183,35 @@ def test_running_max_dates(spark):
     )
     out = running_max(df, "dte", ["o"], ["g"]).orderBy("o").collect()
     assert [r["dte_cummax"] for r in out] == [d(2020, 1, 5), d(2020, 1, 5), d(2020, 1, 9)]
+
+
+def test_remove_overlaps_payload_carry(spark):
+    """Non-key x columns ride through like the reference's foverlaps
+    (timeperiod_functions.R:576-584 keeps all x columns) — including
+    on duplicate-interval inputs, where a join-back would double-count."""
+    x = spark.createDataFrame(
+        [(1, 1, 5, 10.0, "a"), (1, 3, 8, 20.0, "b"), (1, 3, 8, 30.0, "c")],
+        "g int, start int, end int, v double, tag string",
+    )
+    out = remove_overlaps(x, ("start", "end"), ("g",))
+    assert set(out.columns) == {"g", "start", "end", "o_start", "o_end", "v", "tag"}
+    rows = {(r["o_start"], r["o_end"], r["start"], r["end"], r["v"], r["tag"])
+            for r in out.collect()}
+    # the two duplicate originals each tag their pieces with THEIR value
+    assert (3, 8, 3, 5, 20.0, "b") in rows and (3, 8, 3, 5, 30.0, "c") in rows
+    # exactly one row per (original-row, piece): dup originals not merged
+    per_piece = out.groupBy("start", "end").count().collect()
+    counts = {(r["start"], r["end"]): r["count"] for r in per_piece}
+    assert counts[(3, 5)] == 3  # [3,5] covered by all three originals
+    assert counts[(6, 8)] == 2  # [6,8] by the two [3,8] duplicates only
+    # opt-out keeps the old key-only shape
+    slim = remove_overlaps(x, ("start", "end"), ("g",), keep_values=False)
+    assert set(slim.columns) == {"g", "start", "end", "o_start", "o_end"}
+    with pytest.raises(RoleValidationError):
+        remove_overlaps(
+            x.withColumnRenamed("v", "o_start2").withColumnRenamed("tag", "o_end"),
+            ("start", "end"), ("g",),
+        )
 
 
 def test_check_no_overlaps_raises(spark):

@@ -119,6 +119,38 @@ def test_catalog_read_pushes_down(spark, tmp_path):
     assert "xminstart" not in cols and "xmaxend" not in cols, cols
 
 
+def test_minhash_band_join_ships_no_arrays(spark):
+    """The band self-join + pair dedup must shuffle only (id, band,
+    bsig): carrying the shingle-hash arrays (~doc length) through the
+    band exchange, multiplied by `bands`, is the shuffle-bloat
+    anti-pattern this pins against. Shingle sets re-attach to unique
+    candidate pairs via id-equi joins instead."""
+    from timeperiods_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = minhash_candidate_pairs(
+        docs, "doc_id", "text", verify_threshold=0.1
+    )
+    formatted = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain lists every node's Input/Output columns: no
+    # Exchange that partitions by the band signature may carry a
+    # shingle-hashes array column
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+        r"Arguments: hashpartitioning\(([^)]*)\)",
+        formatted,
+    )
+    band_exchanges = [cols for cols, keys in exchanges if "bsig" in keys]
+    assert band_exchanges, formatted[:2000]  # the band join must exist
+    for cols in band_exchanges:
+        assert "hashes" not in cols, cols
+
+
 def test_iwa_projection_prunes_value_columns(spark, xy):
     """Selecting only coverage columns must prune the value column from
     the measurement scan (Catalyst column pruning through the operator)."""

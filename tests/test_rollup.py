@@ -264,3 +264,49 @@ def test_sweep_algorithm_parity(spark, tok):
         algorithm="sweep",
     )
     assert sorted(map(tuple, p.collect())) == sorted(map(tuple, q.collect()))
+
+
+def test_encode_paths_keep_null_group_keys(spark):
+    """NULL group keys are legal groups (tests.R:564-580); both encode
+    joins must be null-safe, not name-based equality (which drops them)."""
+    x = spark.createDataFrame(
+        [(None, 0, 5, 10.0), ("a", 0, 5, 20.0), (None, 6, 11, 30.0)],
+        "g string, s int, e int, v double",
+    )
+    plain = rollup_regular(x, ("s", "e"), ("v",), ("g",), width=6,
+                           required_percentage=0.0)
+    enc = rollup_regular(x, ("s", "e"), ("v",), ("g",), width=6,
+                         required_percentage=0.0, dict_encode_groups=True)
+    key = lambda t: tuple((v is None, v) for v in t)
+    pa, pb = (sorted(map(tuple, d.collect()), key=key) for d in (plain, enc))
+    assert pa == pb
+    assert any(r[0] is None for r in pa)  # the NULL group survived
+    # group_encoders whose expression yields NULL for some group: the
+    # encoded NULL key must aggregate and decode, not vanish
+    withnull = rollup_regular(
+        x, ("s", "e"), ("v",), ("g",), width=6, required_percentage=0.0,
+        group_encoders={"g": F.when(F.col("g") == "a", 1)},
+    )
+    assert sorted(map(tuple, withnull.collect()), key=key) == pa
+
+
+def test_rollup_endpoint_validation(spark):
+    """NULL / reversed endpoints raise instead of silently dropping or
+    mis-aggregating (parity with interval_weighted_avg's errors)."""
+    for algorithm in ("explode", "sweep"):
+        bad_null = spark.createDataFrame(
+            [("a", 0, None, 1.0)], "g string, s int, e int, v double"
+        )
+        with pytest.raises(Exception, match="non-NULL|end >= start"):
+            rollup_regular(bad_null, ("s", "e"), ("v",), ("g",), width=1,
+                           partial=True, algorithm=algorithm).count()
+        bad_rev = spark.createDataFrame(
+            [("a", 9, 3, 1.0)], "g string, s int, e int, v double"
+        )
+        with pytest.raises(Exception, match="non-NULL|end >= start"):
+            rollup_regular(bad_rev, ("s", "e"), ("v",), ("g",), width=1,
+                           partial=True, algorithm=algorithm).count()
+        # opt-out for pre-validated hot paths: NULL rows drop silently
+        ok = rollup_regular(bad_null, ("s", "e"), ("v",), ("g",), width=1,
+                            partial=True, algorithm=algorithm, validate=False)
+        assert ok.count() == 0

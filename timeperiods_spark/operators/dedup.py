@@ -104,14 +104,18 @@ def minhash_candidate_pairs(
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
     sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
-    sig = sh.select(
+    # The band self-join and the pair dedup carry ONLY (id, band, bsig):
+    # shipping the shingle-hash arrays (~doc length) through the band
+    # exchange AND the dropDuplicates, multiplied by `bands`, is the
+    # classic MinHash shuffle-bloat anti-pattern. Shingle sets are
+    # re-attached to the (much smaller) set of UNIQUE candidate pairs
+    # with two id-equi joins — the same shape the DuckDB oracle uses
+    # (__spark_entry__.py `withsets`). Pinned by tests/test_plans.py.
+    banded = sh.select(
         "id",
-        "hashes",
         TH.minhash_signature_spark(F.col("hashes"), n_hashes).alias("sig"),
-    )
-    banded = sig.select(
+    ).select(
         "id",
-        "hashes",
         F.explode(
             F.array(
                 *[
@@ -123,11 +127,10 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "hashes", "bb.band", "bb.bsig")
+    ).select("id", "bb.band", "bb.bsig")
 
     left = banded.select(
         F.col("id").alias("id_a"),
-        F.col("hashes").alias("h_a"),
         F.col("band").alias("band_a"),
         F.col("bsig").alias("bsig_a"),
     )
@@ -135,7 +138,6 @@ def minhash_candidate_pairs(
         F.col("id").alias("id_b"),
         F.col("band").alias("band_b"),
         F.col("bsig").alias("bsig_b"),
-        F.col("hashes").alias("h_b"),
     )
     cand = (
         left.join(
@@ -144,14 +146,19 @@ def minhash_candidate_pairs(
             & (F.col("bsig_a") == F.col("bsig_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "h_a", "h_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    withsets = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a")), "id_a"
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b")), "id_b"
+    )
     inter = F.size(F.array_intersect("h_a", "h_b"))
     union = F.size(F.array_union("h_a", "h_b"))
-    return cand.select(
+    return withsets.select(
         "id_a", "id_b", (inter / F.when(union > 0, union)).alias("jaccard")
     ).filter(F.col("jaccard") >= verify_threshold)
 

@@ -50,16 +50,24 @@ def remove_overlaps(
     *,
     join_strategy: str = "bin",
     bin_width: Optional[int] = None,
+    keep_values: bool = True,
 ) -> DataFrame:
     """Decompose possibly-overlapping intervals into atomic pieces.
 
     Returns one row per (atomic piece, original interval overlapping
     it): columns ``group_vars…, interval_vars… (the atomic piece),
-    o_<start>, o_<end> (the original interval)``. The reference names
-    the original columns ``o.start``/``o.end``
+    o_<start>, o_<end> (the original interval), <payload columns…>``.
+    The reference names the original columns ``o.start``/``o.end``
     (timeperiod_functions.R:584); Spark column names with dots require
     backtick quoting everywhere, so this engine uses ``o_`` —
     a deliberate, documented deviation.
+
+    ``keep_values=True`` (default) carries every non-key x column
+    through, matching the reference's ``foverlaps(x, temp)`` which
+    keeps all x columns — so callers never need a join-back on
+    (group, o_start, o_end), which would double-count when x holds
+    duplicate intervals. Pass ``keep_values=False`` to shuffle only the
+    keys when the payload is wide and unneeded.
 
     ``join_strategy`` defaults to the bucketized bin join, NOT
     group_equi: the decomposition is typically applied to dense
@@ -75,11 +83,27 @@ def remove_overlaps(
     gcols = [f"__g{i}" for i in range(n_g)]
     ygcols = [f"__yg{i}" for i in range(n_g)]
 
+    payload = (
+        [c for c in x.columns if c not in group_vars and c not in interval_vars]
+        if keep_values
+        else []
+    )
+    o_names = {f"o_{interval_vars[0]}", f"o_{interval_vars[1]}"}
+    clash = [c for c in payload if c in o_names]
+    if clash:
+        raise RoleValidationError(
+            f"columns {clash} collide with the output's o_-prefixed "
+            "original-interval columns; rename them (the reference "
+            "rejects i.-prefixed inputs the same way, "
+            "timeperiod_functions.R:534-539)"
+        )
+
     xf = {f.name: f.dataType for f in x.schema.fields}
     base = x.select(
         *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
         _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
         _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
+        *[F.col(c).alias(f"__p{i}") for i, c in enumerate(payload)],
     )
 
     # O21 — melt endpoints into a long event stream
@@ -130,6 +154,7 @@ def remove_overlaps(
         _ungrid(F.col("__ye"), ivl_dtype).alias(interval_vars[1]),
         _ungrid(F.col("__xs"), ivl_dtype).alias(f"o_{interval_vars[0]}"),
         _ungrid(F.col("__xe"), ivl_dtype).alias(f"o_{interval_vars[1]}"),
+        *[F.col(f"__p{i}").alias(c) for i, c in enumerate(payload)],
     )
     return out
 

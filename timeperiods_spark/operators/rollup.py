@@ -37,6 +37,30 @@ from ..errors import RoleValidationError
 PARTIAL_COLS = ("xduration", "xminstart", "xmaxend")
 
 
+def _nullsafe_broadcast_join(
+    left: DataFrame, dim: DataFrame, keys: Sequence[str], *, drop_keys: bool = True
+) -> DataFrame:
+    """Broadcast-join ``dim`` onto ``left`` matching NULL keys to NULL.
+
+    A name-based equality join silently DROPS rows whose key is NULL,
+    but NULL group keys are legal everywhere else in this engine
+    (reference tests.R:564-580; strategy.py uses eqNullSafe). Renames
+    the dim's key columns to avoid ambiguity, joins with ``<=>``, and
+    drops the duplicated key columns."""
+    from functools import reduce
+
+    keys = list(keys)
+    dimr = dim
+    for k in keys:
+        dimr = dimr.withColumnRenamed(k, f"__dk_{k}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__dk_{k}")) for k in keys],
+    )
+    out = left.join(F.broadcast(dimr), cond).drop(*[f"__dk_{k}" for k in keys])
+    return out.drop(*keys) if drop_keys else out
+
+
 def period_scaffold(
     spark,
     lo: int,
@@ -49,10 +73,11 @@ def period_scaffold(
     columns (period, start, end). With ``groups`` (a distinct frame of
     group columns), cross-join so every group gets the full schedule —
     the broadcast-able y table for the iwa-equivalence path."""
-    import math
-
-    p_lo = math.floor((lo - origin) / width)
-    p_hi = math.floor((hi - origin) / width)
+    # integer floor division: exact for all ints (float division loses
+    # exactness beyond 2^53 grid units — the module's stated scale), and
+    # matches F.floor semantics for negatives
+    p_lo = (int(lo) - int(origin)) // int(width)
+    p_hi = (int(hi) - int(origin)) // int(width)
     base = spark.range(p_lo, p_hi + 1).select(
         F.col("id").alias("period"),
         (F.lit(origin) + F.col("id") * width).cast("long").alias("start"),
@@ -76,6 +101,7 @@ def rollup_regular(
     dict_encode_groups: bool = False,
     group_encoders: Optional[dict] = None,
     algorithm: str = "explode",
+    validate: bool = True,
 ) -> DataFrame:
     """Roll interval-measured values onto a regular period grid.
 
@@ -155,8 +181,35 @@ def rollup_regular(
                 F.row_number().over(_W.partitionBy(F.lit(1)).orderBy(*group_vars)),
             )
         )
-        x = x.join(F.broadcast(dim), list(group_vars)).drop(*group_vars)
+        # null-safe: a NULL group key is a legal group (tests.R:564-580)
+        # and must not silently vanish in the encode join
+        x = _nullsafe_broadcast_join(x, dim, list(group_vars))
         group_vars = ["__gid"]
+
+    # Endpoint validation (parity with interval_weighted_avg, which
+    # raises IntervalValidationError for the same inputs): NULL
+    # endpoints would silently drop rows (sequence→NULL→explode) and
+    # end<start would silently mis-aggregate (descending sequence /
+    # negative sweep deltas). Threaded THROUGH the period expression —
+    # a free-standing assert column would be pruned by Catalyst.
+    lo_period = F.floor((F.col(s).cast("long") - o) / w)
+    if validate:
+        ok = (
+            F.col(s).isNotNull()
+            & F.col(e).isNotNull()
+            & (F.col(e).cast("long") >= F.col(s).cast("long"))
+        )
+        lo_period = F.when(
+            F.assert_true(
+                ok,
+                F.lit(
+                    "rollup_regular: interval endpoints must be non-NULL "
+                    "with end >= start (pass validate=False only for "
+                    "pre-validated data)"
+                ),
+            ).isNull(),
+            lo_period,
+        )
 
     exploded = x.select(
         *group_vars,
@@ -165,7 +218,7 @@ def rollup_regular(
         *[F.col(v).cast("double").alias(f"__v_{v}") for v in value_vars],
         F.explode(
             F.sequence(
-                F.floor((F.col(s).cast("long") - o) / w),
+                lo_period,
                 F.floor((F.col(e).cast("long") - o) / w),
             )
         ).alias("period"),
@@ -184,6 +237,7 @@ def rollup_regular(
         return _rollup_sweep_unit(
             x, s, e, value_vars, group_vars, user_group_vars, dim,
             group_encoders, origin, partial, required_percentage,
+            validate=validate,
         )
     if width == 1:
         # Unit-width special case (the hourly base tier hot path): every
@@ -239,8 +293,9 @@ def rollup_regular(
             else ["__gid"]
         )
         agg = (
-            agg.join(F.broadcast(dim), decode_keys)
-            .drop(*decode_keys)
+            # null-safe: a group_encoders expression may yield NULL for
+            # some group value — that encoded key must still decode
+            _nullsafe_broadcast_join(agg, dim, decode_keys)
             .select(
                 *user_group_vars,
                 "period",
@@ -275,6 +330,7 @@ def _rollup_sweep_unit(
     origin: int,
     partial: bool,
     required_percentage: float,
+    validate: bool = True,
 ) -> DataFrame:
     """Width-1 sweep backend for rollup_regular (see caller comment)."""
     from pyspark.sql import Window as _W
@@ -288,6 +344,25 @@ def _rollup_sweep_unit(
     # array allocation but SCANS THE SOURCE TWICE — the wrong trade for
     # a 100 TB input; this keeps exactly one pass.
     start_cell = (F.col(s).cast("long") - o).cast("long")
+    if validate:
+        # same endpoint contract as the explode path; NULL/reversed
+        # endpoints would otherwise corrupt the delta sweep silently
+        ok = (
+            F.col(s).isNotNull()
+            & F.col(e).isNotNull()
+            & (F.col(e).cast("long") >= F.col(s).cast("long"))
+        )
+        start_cell = F.when(
+            F.assert_true(
+                ok,
+                F.lit(
+                    "rollup_regular: interval endpoints must be non-NULL "
+                    "with end >= start (pass validate=False only for "
+                    "pre-validated data)"
+                ),
+            ).isNull(),
+            start_cell,
+        )
     end_cell_excl = (F.col(e).cast("long") - o + 1).cast("long")
     side = x.select(
         *group_vars,
@@ -351,7 +426,7 @@ def _rollup_sweep_unit(
             if group_encoders
             else ["__gid"]
         )
-        out = out.join(F.broadcast(dim), decode_keys).drop(*decode_keys)
+        out = _nullsafe_broadcast_join(out, dim, decode_keys)
     out = out.select(
         *user_group_vars,
         "period",

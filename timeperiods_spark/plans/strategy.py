@@ -59,21 +59,22 @@ def _group_cond(n_groups: int) -> Optional[Column]:
 
 
 def estimate_bin_width(xw: DataFrame, yw: DataFrame, sample_rows: int = 10_000) -> int:
-    """Pick a bin width ≈ p90 interval length from a head sample.
+    """Pick a bin width ≈ p90 interval length from a random sample.
 
-    Uses limit()+collect on a 1-column projection so only a few input
-    splits are read. Any width is correct; width only tunes fan-out
-    (intervals much longer than W explode to many bins; much shorter
-    means many unrelated pairs share a bin). p90 of both sides' lengths
-    balances the two.
+    Uses sample()+limit on a 1-column projection: the limit still
+    short-circuits the scan, and the Bernoulli sample decorrelates the
+    estimate from input order (a head sample is biased whenever data is
+    sorted by interval length). Any width is correct; width only tunes
+    fan-out (intervals much longer than W explode to many bins; much
+    shorter means many unrelated pairs share a bin). p90 of both sides'
+    lengths balances the two.
     """
     lens: list[int] = []
     for df, s, e in ((xw, "__xs", "__xe"), (yw, "__ys", "__ye")):
-        rows = (
-            df.select((F.col(e) - F.col(s) + F.lit(1)).alias("len"))
-            .limit(sample_rows)
-            .collect()
-        )
+        proj = df.select((F.col(e) - F.col(s) + F.lit(1)).alias("len"))
+        rows = proj.sample(0.01, seed=42).limit(sample_rows).collect()
+        if not rows:  # tiny input: the 1% sample may miss everything
+            rows = proj.limit(sample_rows).collect()
         lens.extend(r["len"] for r in rows if r["len"] is not None)
     if not lens:
         return 1

@@ -75,18 +75,22 @@ class TierCatalog:
         """Add one batch's additive partials as a delta. Idempotent:
         re-running the same batch_id overwrites exactly its own
         (pbucket, batch) partitions and nothing else."""
-        spark = new_partials.sparkSession
         path = self.tier_path(tier)
         # cluster rows by target partition before writing: without this,
         # every task opens a file in every pbucket dir (tasks x buckets
         # small files — measured ~40s of fs overhead per 256M-doc batch)
         delta = self._with_parts(new_partials, batch_id).repartition("pbucket")
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            delta.write.mode("overwrite").partitionBy("pbucket", "batch").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, NOT a session-conf toggle: concurrent
+        # writers sharing the SparkSession (parallel tier ingests, a
+        # streaming query plus a batch job) could interleave a toggled
+        # global conf and run a static-mode overwrite that clobbers
+        # other batches' partitions
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pbucket", "batch")
+            .parquet(path)
+        )
 
     def read_batch_delta(
         self, spark: SparkSession, tier: str, batch_id: str
