@@ -951,6 +951,73 @@ QUALIFY rank <= 10
 """
 
 
+def _wide_embeddings(spark, sf_dir):
+    """Deterministic 1024-dim vectors: 16 integer-scaled copies of the
+    64-dim embedding, tiled — exact in both engines (x * j for small
+    int j is exact float arithmetic)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: F.transform(
+                    F.col("embedding").cast("array<double>"), lambda x: x * j
+                ),
+            )
+        ).alias("embedding"),
+    )
+    # materialize the synthetic widening through an exchange: without
+    # it CollapseProject inlines the flatten/transform into every
+    # downstream consumer (16 plane dots + cosine + norms re-derive the
+    # 1024-array per use — measured 4x slower). A real pipeline reads
+    # the wide column from storage and has no such artifact.
+    return wide.repartition("vec_id")
+
+
+def q_cosine_lsh_highdim(spark, sf_dir):
+    """SRP LSH at real embedding width (dim=1024, n_planes=16): pins
+    that the plane expressions stay O(n_planes) plan nodes (array
+    literals + zip_with dots), not an unrolled 16k-term sum."""
+    wide = _wide_embeddings(spark, sf_dir)
+    queries_df = wide.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_lsh(wide, queries_df, k=10, dim=1024, n_planes=16)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_WIDE_SQL = (
+    "SELECT vec_id, flatten(list_transform(range(1, 17), "
+    "j -> list_transform(CAST(embedding AS DOUBLE[]), x -> x * j))) AS v "
+    "FROM embeddings"
+)
+
+SQL_COSINE_LSH_HIGHDIM = f"""
+WITH w AS ({_WIDE_SQL}),
+c AS (
+  SELECT vec_id, v, {srp_bucket_sql('v', 1024, 16)} AS bucket FROM w
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) /
+         (CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
+               THEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) END) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def q_textops(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -981,6 +1048,7 @@ _PIPELINE_QUERIES = {
     "simhash_fingerprints": q_simhash,
     "cosine_topk_bruteforce": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_lsh,
+    "cosine_topk_lsh_highdim": q_cosine_lsh_highdim,
     "text_analysis": q_textops,
 }
 
@@ -991,5 +1059,6 @@ _PIPELINE_ORACLES = {
     "simhash_fingerprints": SQL_SIMHASH,
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_LSH,
+    "cosine_topk_lsh_highdim": SQL_COSINE_LSH_HIGHDIM,
     "text_analysis": SQL_TEXTOPS,
 }

@@ -219,3 +219,18 @@ def test_check_no_overlaps_raises(spark):
     with pytest.raises(OverlapError):
         check_no_overlaps(df, ("start", "end"))
     assert not check_no_overlaps(df, ("start", "end"), raise_on_overlap=False)
+
+
+def test_check_no_overlaps_cross_partition_boundary(spark):
+    """Ungrouped validation range-partitions the scan; an overlap whose
+    two rows land in different range partitions must still be caught
+    via the boundary handoff (one long early interval covering rows
+    that sort into later partitions)."""
+    rows = [(0, 100000)] + [(i * 10, i * 10 + 5) for i in range(1, 2000)]
+    df = spark.createDataFrame(rows, "start int, end int")
+    assert not check_no_overlaps(df, ("start", "end"), raise_on_overlap=False)
+    # and a clean ungrouped table still validates through the same path
+    clean = spark.createDataFrame(
+        [(i * 10, i * 10 + 5) for i in range(2000)], "start int, end int"
+    )
+    assert check_no_overlaps(clean, ("start", "end"))

@@ -151,6 +151,54 @@ def test_minhash_band_join_ships_no_arrays(spark):
         assert "hashes" not in cols, cols
 
 
+def test_ungrouped_validation_is_not_single_partition(spark):
+    """With group_vars=[] the integrity scan must range-partition and
+    window by physical partition — not funnel everything through one
+    Window.partitionBy(lit(1)) task."""
+    from timeperiods_spark.operators.interval_avg import (
+        _ungrouped_integrity_frame,
+    )
+
+    xw = spark.createDataFrame(
+        [(i * 10, i * 10 + 5) for i in range(100)], "__xs long, __xe long"
+    )
+    p = _plan(_ungrouped_integrity_frame(xw))
+    assert "rangepartitioning" in p, p[:1200]
+    # the only constant-key exchange allowed is none at all
+    assert "hashpartitioning(1," not in p and "SinglePartition" not in p, p[:1200]
+
+
+def test_cosine_topk_preaggregates_before_rank_exchange(spark):
+    """The rank window's exchange must sit ABOVE the per-partition
+    top-k reduction (MapInPandas), so only |Q| x k x partitions rows are
+    shuffled — never the full |Q| x |C| scored set."""
+    from timeperiods_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    q = corpus.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    p = _plan(cosine_topk(corpus, q, k=3))
+    i_exchange = p.index("Exchange hashpartitioning(query_id")
+    i_map = p.index("MapInPandas")
+    assert i_exchange < i_map, p[:1500]  # exchange consumes the reduced set
+
+
+def test_srp_bucket_plan_is_compact_at_high_dim(spark):
+    """dim=1024, n_planes=16 must compile to O(n_planes) plan nodes
+    (array literals + zip_with dots), not an unrolled 16k-term sum of
+    element_at calls that breaks codegen."""
+    from timeperiods_spark.operators.similarity import srp_bucket
+
+    df = spark.range(4).selectExpr(
+        "transform(sequence(1, 1024), i -> CAST(i * (id + 1) AS DOUBLE)) AS v"
+    )
+    out = df.select(srp_bucket(F.col("v"), 1024, 16).alias("b"))
+    analyzed = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "element_at" not in analyzed
+    out.collect()  # and it actually runs
+
+
 def test_iwa_projection_prunes_value_columns(spark, xy):
     """Selecting only coverage columns must prune the value column from
     the measurement scan (Catalyst column pruning through the operator)."""

@@ -124,6 +124,71 @@ def _validate_roles(
     return xs_t
 
 
+def _ungrouped_integrity_frame(xw: DataFrame) -> DataFrame:
+    """Per-partition integrity statistics for the ungrouped case.
+
+    ``Window.partitionBy(lit(1))`` would serialize the WHOLE table
+    through one task when there are no group keys — a hang at scale.
+    Instead: range-repartition by (start, end), run the window scan
+    within each physical partition, and emit one stats row per
+    partition. Cross-partition hazards reduce to per-partition
+    aggregates because the data is range-clustered:
+
+    - overlap across a boundary: partition p holds rows whose (s, e)
+      sort after every row of partitions < p, so ANY cross-boundary
+      overlap implies min_start(p) <= running max of earlier
+      partitions' max_end — checked on the ≤P stats rows.
+    - duplicates across a boundary: impossible — the range partitioner
+      assigns equal sort keys to the same partition.
+
+    Returns columns (pid, nulls, rev, dup, ovl, mn_s, mx_e).
+    """
+    from pyspark.sql import Window
+
+    spark = xw.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = xw.repartitionByRange(n_parts, "__xs", "__xe").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__xs", "__xe")
+    prev_max_end = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    prev_s = F.lag("__xs").over(w)
+    prev_e = F.lag("__xe").over(w)
+    flags = parts.select(
+        "__pid",
+        "__xs",
+        "__xe",
+        (F.col("__xs").isNull() | F.col("__xe").isNull()).alias("nul"),
+        (F.col("__xe") < F.col("__xs")).alias("rev"),
+        (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
+        (F.col("__xs") <= prev_max_end).alias("ovl"),
+    )
+    return flags.groupBy("__pid").agg(
+        F.sum(F.when(F.col("nul"), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
+        F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
+        F.min("__xs").alias("mn_s"),
+        F.max("__xe").alias("mx_e"),
+    )
+
+
+def _ungrouped_integrity_totals(xw: DataFrame) -> dict:
+    stats = sorted(
+        _ungrouped_integrity_frame(xw).collect(), key=lambda r: r["__pid"]
+    )
+    totals = {
+        k: sum(r[k] or 0 for r in stats) for k in ("nulls", "rev", "dup", "ovl")
+    }
+    run_max = None  # boundary handoff: overlap against earlier partitions
+    for r in stats:
+        if run_max is not None and r["mn_s"] is not None and r["mn_s"] <= run_max:
+            totals["ovl"] += 1
+        if r["mx_e"] is not None:
+            run_max = r["mx_e"] if run_max is None else max(run_max, r["mx_e"])
+    return totals
+
+
 def _check_x_integrity(
     xw: DataFrame, n_groups: int, skip_overlap_check: bool
 ) -> None:
@@ -135,29 +200,35 @@ def _check_x_integrity(
     its start <= running max of previous ends (closed intervals, so a
     shared endpoint counts). Exact duplicates (hard error,
     timeperiod_functions.R:198-202) ride along in the same single job.
+    With no group keys the scan is range-partitioned with a boundary
+    handoff (see _ungrouped_integrity_frame) instead of a
+    single-partition window.
     """
     from pyspark.sql import Window
 
-    gcols = [f"__g{i}" for i in range(n_groups)]
-    w = Window.partitionBy(*gcols).orderBy("__xs", "__xe") if gcols else (
-        Window.partitionBy(F.lit(1)).orderBy("__xs", "__xe")
-    )
-    prev_max_end = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    prev_s = F.lag("__xs").over(w)
-    prev_e = F.lag("__xe").over(w)
-    flags = xw.select(
-        F.col("__xs").isNull().alias("null_s"),
-        F.col("__xe").isNull().alias("null_e"),
-        (F.col("__xe") < F.col("__xs")).alias("rev"),
-        (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
-        (F.col("__xs") <= prev_max_end).alias("ovl"),
-    )
-    row = flags.agg(
-        F.sum(F.when(F.col("null_s") | F.col("null_e"), 1).otherwise(0)).alias("nulls"),
-        F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
-        F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
-    ).first()
+    if n_groups == 0:
+        row = _ungrouped_integrity_totals(xw)
+    else:
+        gcols = [f"__g{i}" for i in range(n_groups)]
+        w = Window.partitionBy(*gcols).orderBy("__xs", "__xe")
+        prev_max_end = F.max("__xe").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_s = F.lag("__xs").over(w)
+        prev_e = F.lag("__xe").over(w)
+        flags = xw.select(
+            F.col("__xs").isNull().alias("null_s"),
+            F.col("__xe").isNull().alias("null_e"),
+            (F.col("__xe") < F.col("__xs")).alias("rev"),
+            (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
+            (F.col("__xs") <= prev_max_end).alias("ovl"),
+        )
+        row = flags.agg(
+            F.sum(F.when(F.col("null_s") | F.col("null_e"), 1).otherwise(0)).alias("nulls"),
+            F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
+            F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
+        ).first()
     if row is None:
         return
     if (row["nulls"] or 0) > 0:

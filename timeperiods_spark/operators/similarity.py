@@ -6,16 +6,25 @@ native ``aggregate(zip_with(...))`` column expressions — JVM-side,
 no Python. Plane coefficients are deterministic integer arithmetic so
 the DuckDB oracle reproduces buckets bit-identically.
 
-Scale design: brute force is |Q| x |C| — only viable with a broadcast
-query set. SRP buckets turn it into an equi join on bucket id; recall
-is tuned by n_planes (fewer planes = bigger buckets = higher recall,
-more compute). Multi-probe (flipping low-margin bits) is the standard
-recall extension; out of scope this round and noted here.
+Scale design:
+- Brute force is |Q| x |C| scoring — only viable with a broadcast
+  query set. Ranking does NOT shuffle the scored pairs: each task
+  pre-reduces its partition to the top-k per query (an Arrow-batched
+  bounded selection), so the final rank exchange carries
+  |Q| x k x partitions rows instead of |Q| x |C|.
+- SRP buckets turn scoring into an equi join on bucket id; recall is
+  tuned by n_planes (fewer planes = bigger buckets = higher recall,
+  more compute). Plane vectors are ARRAY LITERALS (constant-folded to
+  one literal each) and the per-plane dot is aggregate(zip_with(...)),
+  so the plan size is O(n_planes), independent of dim — an unrolled
+  element_at sum at dim=1024, n_planes=16 would be a 16k-node plan
+  that breaks codegen. Multi-probe (flipping low-margin bits) is the
+  standard recall extension; out of scope this round and noted here.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -40,6 +49,45 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.when(_norm(a) * _norm(b) > 0, _norm(a) * _norm(b))
 
 
+def _ranked_topk(scored: DataFrame, k: int, partial_topk: bool) -> DataFrame:
+    """rank per query_id with an optional per-partition pre-top-k.
+
+    The naive formulation is one global row_number window — an exchange
+    of EVERY scored pair by query_id. With ``partial_topk`` each task
+    first reduces its own rows to the k best per query (sorted by the
+    same total order the final rank uses, so the reduction is exact:
+    any row outside a partition's local top-k cannot be in the global
+    top-k). Arrow-batched; bounded output of |Q| x k per batch.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    reduced = scored
+    if partial_topk:
+
+        def local_topk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        reduced = scored.mapInPandas(local_topk, scored.schema)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,6 +96,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against
     the corpus, rank per query. Columns: query_id, vec_id, cosine, rank."""
@@ -64,28 +113,29 @@ def cosine_topk(
         "vec_id",
         cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, partial_topk)
+
+
+def _srp_coeff(p: int, i: int) -> int:
+    return (p * 10007 + i * 131) % 997 - 498
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int) -> Column:
     """Signed-random-projection bucket id from deterministic integer
     planes: plane_p[i] = ((p*10007 + i*131) % 997) - 498 — portable to
-    ANSI SQL verbatim (see srp_bucket_sql)."""
+    ANSI SQL verbatim (see srp_bucket_sql).
+
+    Each plane is ONE array literal (Catalyst constant-folds the
+    CreateArray of literals) and its dot product one
+    aggregate(zip_with(...)) — plan size O(n_planes), not O(dim x
+    n_planes)."""
     bucket = F.lit(0).cast("long")
-
-    def coeff(p: int, i: int) -> int:
-        return (p * 10007 + i * 131) % 997 - 498
-
     for p in range(n_planes):
-        dot = F.lit(0.0)
-        for i in range(dim):
-            dot = dot + F.element_at(vec, i + 1) * F.lit(float(coeff(p, i)))
+        # F.lit(list) builds ONE ArrayType Literal node directly —
+        # cheaper to analyze than a dim-child CreateArray that constant
+        # folding must collapse
+        plane = F.lit([float(_srp_coeff(p, i)) for i in range(dim)])
+        dot = _dot(vec, plane)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -93,12 +143,12 @@ def srp_bucket(vec: Column, dim: int, n_planes: int) -> Column:
 def srp_bucket_sql(vec_expr: str, dim: int, n_planes: int) -> str:
     parts = []
     for p in range(n_planes):
-        terms = [
-            f"{vec_expr}[{i + 1}] * {(p * 10007 + i * 131) % 997 - 498}.0"
-            for i in range(dim)
-        ]
+        plane = ", ".join(
+            f"{_srp_coeff(p, i)}.0" for i in range(dim)
+        )
         parts.append(
-            f"(CASE WHEN ({' + '.join(terms)}) >= 0 THEN {1 << p} ELSE 0 END)"
+            f"(CASE WHEN list_dot_product({vec_expr}, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
         )
     return "(" + " + ".join(parts) + ")::BIGINT"
 
@@ -113,6 +163,7 @@ def cosine_topk_lsh(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 8,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, rank only within the
     query's bucket. Same output shape as cosine_topk; recall < 1 by
@@ -130,10 +181,4 @@ def cosine_topk_lsh(
         "vec_id",
         cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, partial_topk)
