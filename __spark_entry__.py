@@ -781,10 +781,12 @@ def oracle_sql() -> dict[str, str]:
 from timeperiods_spark.functions import texthash as _TH  # noqa: E402
 from timeperiods_spark.operators import textops as _TX  # noqa: E402
 from timeperiods_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_frame,
+    simhash_pairs,
 )
 from timeperiods_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -870,16 +872,83 @@ WHERE len(list_intersect(h_a, h_b)) /
 """
 
 
+def q_minhash_dedup_cc(spark, sf_dir):
+    """Connected-components canonicalization over the verified MinHash
+    pairs: every document labeled with the min doc_id of its duplicate
+    component (its own id when unpaired). The DuckDB twin walks the
+    same pair graph with a recursive CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", k=5, n_hashes=12, bands=4, verify_threshold=0.4
+    )
+    cc = connected_components(pairs)
+    out = docs.select("doc_id").join(
+        cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("component")),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+    )
+
+
+SQL_MINHASH_CC = f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({SQL_MINHASH_PAIRS}) t
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b AS id, w.comp FROM walk w JOIN e ON e.a = w.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+FROM walk GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return simhash_frame(docs, "doc_id", "text", k=5, bits=16).select(
+    return simhash_frame(docs, "doc_id", "text", k=5, bits=64).select(
         F.col("id").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
     )
 
 
 SQL_SIMHASH = f"""
-SELECT doc_id, {_TH.simhash_sql(_TH.shingle_hashes_sql('text', 5), 16)} AS simhash
+SELECT doc_id, {_TH.simhash_sql(_TH.shingle_hashes_sql('text', 5), 64)} AS simhash
 FROM documents
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash join at the 64-bit default: recall for hamming <
+    bands is guaranteed by pigeonhole, so with max_hamming = bands - 1
+    the output is EXACTLY the set of pairs within that distance — which
+    the oracle states as a brute-force O(n^2) SQL (fine at oracle
+    scale; the Spark path never materializes the n^2 space)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = simhash_pairs(
+        docs, "doc_id", "text", k=5, bits=64, bands=8, max_hamming=7
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, {_TH.simhash_sql(_TH.shingle_hashes_sql('text', 5), 64)} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 7
 """
 
 
@@ -1045,7 +1114,9 @@ _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "minhash_dedup_cc": q_minhash_dedup_cc,
     "simhash_fingerprints": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "cosine_topk_bruteforce": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_lsh,
     "cosine_topk_lsh_highdim": q_cosine_lsh_highdim,
@@ -1056,7 +1127,9 @@ _PIPELINE_ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+    "minhash_dedup_cc": SQL_MINHASH_CC,
     "simhash_fingerprints": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_LSH,
     "cosine_topk_lsh_highdim": SQL_COSINE_LSH_HIGHDIM,

@@ -182,3 +182,31 @@ def test_multimodal_plumbing(spark):
     med = media.select("media_id", "meta.n_frames").collect()
     for r in med:
         assert n_by_media[r["media_id"]] == math.ceil(r["n_frames"] / 2)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from timeperiods_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (no direct 1~4 edge), separate pair 10-11,
+        # and a triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_dedup_components_vs_single_hop(docs):
+    both = {}
+    for method in ("single_hop", "components"):
+        kept = minhash_dedup(docs, "doc_id", "text",
+                             verify_threshold=0.5, method=method)
+        both[method] = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # min id of each duplicate cluster survives either way; 99 is an
+    # exact copy of 0 and must be dropped by both
+    for ids in both.values():
+        assert 0 in ids and 99 not in ids
+    # components can only keep FEWER-or-equal docs than single_hop
+    # never more (transitive closure merges chains)
+    assert both["components"] <= both["single_hop"]

@@ -118,30 +118,57 @@ def minhash_signature_sql(hashes_expr: str, n_hashes: int) -> str:
 
 # -------------------------------------------------------------- simhash
 
+#: independent 31-bit rehash streams; fingerprint bit b draws from
+#: stream b // 31, bit b % 31 — one (48271,…) stream only has 31 usable
+#: bits, which silently zeroed everything past bit 30 and capped
+#: fingerprints at toy widths. Three streams cover bits <= 92.
+_SIMHASH_STREAMS = ((48271, 11), (16807, 3), (69621, 7))
 
-def simhash_spark(hashes: Column, bits: int = 16) -> Column:
+
+def _simhash_bit_value(b: int) -> int:
+    """Signed two's-complement value of fingerprint bit b in an int64
+    (bit 63 is the sign bit: -2^63, representable in BOTH engines as a
+    literal, unlike +2^63)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash_spark(hashes: Column, bits: int = 64) -> Column:
     """bits-wide SimHash of an array of shingle hashes: bit b is the
-    majority vote of bit b across rehashed elements."""
-    def voter(b: int):
+    majority vote of bit b across rehashed elements. Default 64 — the
+    web-scale standard width; 16-bit fingerprints collide constantly at
+    corpus scale, pushing all the work onto the hamming filter."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
+
+    def voter(a: int, c: int, pos: int):
         return lambda acc, h: acc + F.when(
-            (F.shiftright((F.lit(48271) * h + F.lit(11)) % F.lit(MERSENNE), b) % 2) == 1,
+            (F.shiftright((F.lit(a) * h + F.lit(c)) % F.lit(MERSENNE), pos) % 2) == 1,
             F.lit(1),
         ).otherwise(F.lit(-1))
 
     total = F.lit(0).cast("long")
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
-        total = total + F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        a, c = _SIMHASH_STREAMS[b // 31]
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), voter(a, c, b % 31))
+        total = total + F.when(
+            votes > 0, F.lit(_simhash_bit_value(b))
+        ).otherwise(F.lit(0))
     return total
 
 
-def simhash_sql(hashes_expr: str, bits: int = 16) -> str:
+def simhash_sql(hashes_expr: str, bits: int = 64) -> str:
     parts = []
     for b in range(bits):
+        a, c = _SIMHASH_STREAMS[b // 31]
         vote = (
             f"list_sum(list_transform({hashes_expr}, "
-            f"h -> CASE WHEN ((48271::BIGINT * h + 11) % {MERSENNE} >> {b}) % 2 = 1 "
+            f"h -> CASE WHEN (({a}::BIGINT * h + {c}) % {MERSENNE} >> {b % 31}) % 2 = 1 "
             f"THEN 1 ELSE -1 END))"
         )
-        parts.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+        # parenthesize the value: :: binds tighter than unary minus, and
+        # -9223372036854775808::BIGINT would cast the unsigned literal
+        # (out of BIGINT range) before negating
+        parts.append(
+            f"(CASE WHEN {vote} > 0 THEN ({_simhash_bit_value(b)})::BIGINT ELSE 0 END)"
+        )
     return "(" + " + ".join(parts) + ")::BIGINT"

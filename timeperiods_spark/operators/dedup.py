@@ -163,6 +163,63 @@ def minhash_candidate_pairs(
     ).filter(F.col("jaccard") >= verify_threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected (id_a, id_b) pair graph by
+    iterative min-label propagation (hash-min): every node repeatedly
+    takes the minimum label among itself and its neighbors until a
+    fixpoint. Converges in O(max component diameter) rounds — near-dup
+    clusters are dense and shallow, so a handful in practice; the
+    round bound is a guard, and hitting it raises rather than returning
+    partially-merged components. Each round is one equi-join + one
+    hash aggregate, both keyed by id — shuffle-partitionable at any
+    scale. (Alternating small-star/large-star halves round counts on
+    adversarially long chains; unnecessary for dedup graphs.)
+
+    Returns (id, component) for every id appearing in ``pairs``, with
+    component = min id of the connected component.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .dropDuplicates()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("b"), "comp"), "b"
+        ).select(F.col("a").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            # truncate lineage each round: an iterative plan otherwise
+            # grows O(rounds) deep and re-executes from scratch
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -172,21 +229,37 @@ def minhash_dedup(
     n_hashes: int = 12,
     bands: int = 4,
     verify_threshold: float = 0.7,
+    method: str = "single_hop",
 ) -> DataFrame:
-    """Drop near-duplicates, keeping the smallest id of each duplicate
-    pair-cluster (single-hop canonicalization: b is dropped if ANY
-    a < b matched it; full connected components would need an iterative
-    pass — documented simplification, standard for web-scale dedup)."""
+    """Drop near-duplicates, keeping one survivor per duplicate cluster.
+
+    ``method="single_hop"`` (default): b is dropped if ANY a < b matched
+    it — one pass, no iteration; the standard web-scale shortcut. Its
+    survivors are a superset of one-per-component only when clusters are
+    min-id-centered; chains a~b~c with a<b<c drop both b and c even if
+    a!~c directly, which is usually the desired behavior for near-dups.
+
+    ``method="components"``: exact one-survivor-per-connected-component
+    (min id), via :func:`connected_components` over the verified pairs.
+    """
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
         verify_threshold=verify_threshold,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    if method == "components":
+        cc = connected_components(pairs)
+        losers = cc.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    elif method == "single_hop":
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    else:
+        raise ValueError("method must be 'single_hop' or 'components'")
     return df.join(losers, id_col, "left_anti")
 
 
 def simhash_frame(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 64
 ) -> DataFrame:
     """(id, simhash) — bit-majority fingerprint over shingle hashes."""
     sh = shingle_frame(df, id_col, text_col, k)
@@ -199,9 +272,9 @@ def simhash_pairs(
     text_col: str,
     *,
     k: int = 5,
-    bits: int = 16,
-    bands: int = 4,
-    max_hamming: int = 2,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-wide fingerprint
     into ``bands`` chunks, equi-join on any matching chunk (guarantees
