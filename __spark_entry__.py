@@ -728,6 +728,126 @@ def q_gorilla_roundtrip(spark, sf_dir):
     )
 
 
+def q_running_max(spark, sf_dir):
+    """O26 (reference cummax.Date, timeperiod_functions.R:52)
+    generalized: grouped running max over an explicit order."""
+    from timeperiods_spark.operators.overlaps import running_max
+
+    ev = _read(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        "event_id",
+        F.col("value").alias("v"),
+    )
+    out = running_max(df, "v", ["event_id"], ["g"], out_col="v_cummax")
+    return out.select(
+        "g",
+        "event_id",
+        F.round("v", _R).alias("v"),
+        F.round("v_cummax", _R).alias("v_cummax"),
+    )
+
+
+SQL_RUNNING_MAX = """
+SELECT CAST(user_id % 7 AS INT) AS g, event_id,
+       ROUND(value, 6) AS v,
+       ROUND(MAX(value) OVER (PARTITION BY user_id % 7 ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_cummax
+FROM events
+"""
+
+
+def q_iwa_sorted_validated(spark, sf_dir):
+    """O14 (sorted output, reference setkeyv) + the eager validation
+    path (O2/O11/O15): x is clean by construction, so validate=True
+    runs the duplicate/overlap window scans and passes. The driver's
+    hash is order-insensitive; this query's value is that the sorted,
+    validated plan executes and matches the same oracle."""
+    x = _x_orders(spark, sf_dir)
+    y = _y_regular(spark, x.select("g").distinct(), 200, 30)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("g",),
+        required_percentage=80.0,
+        validate=True,
+        skip_overlap_check=False,
+        sort_output=True,
+    )
+    return _finish(out, ["v", "yduration"]).select(
+        "g", "s", "e", "v", "yduration",
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+        F.col("xminstart").cast("long").alias("xminstart"),
+        F.col("xmaxend").cast("long").alias("xmaxend"),
+    )
+
+
+SQL_IWA_SORTED = SQL_IWA_CORE.replace(
+    "100.0*nobs/(ye - ys + 1) < 50", "100.0*nobs/(ye - ys + 1) < 80"
+)
+
+
+N_MEDIA = 200
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Numeric check of the multimodal plumbing: stub-codec features
+    (byte-histogram embedding, L2-normalized float32) over the
+    deterministic synthetic payloads (sha256 of the decimal media id,
+    repeated 8 + id % 8 times). The oracle recomputes the same digest
+    bytes, histogram, norm and float32 rounding in SQL."""
+    from timeperiods_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, N_MEDIA, kind="image")
+    feats = extract_features(media, dim=16)
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("feature").cast("array<double>"),
+            F.sequence(F.lit(1), F.lit(16)).cast("array<double>"),
+            lambda x, d: x * d,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.round(checksum, _R).alias("feature_checksum"),
+        F.round(F.element_at(F.col("feature").cast("array<double>"), 1), _R).alias("f0"),
+    )
+
+
+SQL_MULTIMODAL = f"""
+WITH ids AS (SELECT range AS i FROM range({N_MEDIA})),
+dig AS (SELECT i, sha256(CAST(i AS VARCHAR)) AS h, 8 + i % 8 AS reps FROM ids),
+bytes AS (
+  SELECT i, reps, list_transform(range(32), j ->
+    (strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INT), 1)) - 1) * 16 +
+    (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INT), 1)) - 1)) AS bl
+  FROM dig
+),
+hist AS (
+  SELECT i, reps, list_transform(range(16), d ->
+    CAST(reps * len(list_filter(bl, b -> b % 16 = d)) AS DOUBLE)) AS hl
+  FROM bytes
+),
+feat AS (
+  SELECT i, reps,
+         list_transform(hl, x ->
+           CAST(x / sqrt(list_sum(list_transform(hl, y -> y * y))) AS REAL)) AS f
+  FROM hist
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(32 * reps AS INT) AS n_bytes,
+       ROUND(list_sum(list_transform(range(16), d ->
+             CAST(f[CAST(d + 1 AS INT)] AS DOUBLE) * (d + 1))), 6) AS feature_checksum,
+       ROUND(CAST(f[1] AS DOUBLE), 6) AS f0
+FROM feat
+"""
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -752,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_weekly_cascade": q_rollup_weekly_cascade,
         "gap_fill_locf_daily": q_gap_fill_locf,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "running_max_events": q_running_max,
+        "iwa_sorted_validated": q_iwa_sorted_validated,
+        "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
     }
 
@@ -770,6 +893,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_weekly_cascade": _token_rollup_sql(168),
         "gap_fill_locf_daily": SQL_GAP_FILL,
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
+        "running_max_events": SQL_RUNNING_MAX,
+        "iwa_sorted_validated": SQL_IWA_SORTED,
+        "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,
     }
 

@@ -102,6 +102,10 @@ def main(argv=None) -> dict:
             # (2 delta rows/doc instead of `duration` exploded cells) is
             # exact — see rollup_regular(algorithm=)
             algorithm="sweep",
+            # the generator emits non-NULL, end >= start intervals by
+            # construction — skip the per-row endpoint asserts on the
+            # 10^9-row hot path (they are for untrusted input)
+            validate=False,
         )
         total_rows += sum(counts.values())
     if args.compact:

@@ -169,10 +169,18 @@ def test_grouped_cartesian_no_groups_and_null_groups(spark):
     assert len(out) == 1 and out[0]["g"] is None  # NULL matches NULL
 
 
-def test_grouped_cartesian_name_collision_raises(spark):
+def test_grouped_cartesian_name_collision_auto_renames(spark):
+    """Reference CJ.dt auto-prefixes colliding columns with i.
+    (timeperiod_functions.R:5-12, :33); this engine uses i_ and repeats
+    the prefix until unused. auto_rename=False restores the hard error."""
     A = spark.createDataFrame([(1,)], "a int")
+    B = spark.createDataFrame([(2,)], "a int")
+    C = spark.createDataFrame([(3,)], "a int")
+    out = grouped_cartesian([A, B, C], [])
+    assert out.columns == ["a", "i_a", "i_i_a"]
+    assert out.collect()[0].asDict() == {"a": 1, "i_a": 2, "i_i_a": 3}
     with pytest.raises(RoleValidationError):
-        grouped_cartesian([A, A], [])
+        grouped_cartesian([A, B], [], auto_rename=False)
 
 
 def test_running_max_dates(spark):
@@ -234,3 +242,13 @@ def test_check_no_overlaps_cross_partition_boundary(spark):
         [(i * 10, i * 10 + 5) for i in range(2000)], "start int, end int"
     )
     assert check_no_overlaps(clean, ("start", "end"))
+
+
+def test_verbose_flag_prints_steps(spark, capsys):
+    """Reference parity: verbose= (timeperiod_functions.R:117) reports
+    validation timings and plan choices."""
+    x = spark.createDataFrame([(0, 4, 1.0), (5, 9, 2.0)], "s int, e int, v double")
+    y = spark.createDataFrame([(0, 9)], "s int, e int")
+    interval_weighted_avg(x, y, ("s", "e"), ("v",), None, 50.0, verbose=True).collect()
+    out = capsys.readouterr().out
+    assert "x integrity" in out and "join_strategy" in out

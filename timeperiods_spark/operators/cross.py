@@ -24,12 +24,17 @@ def grouped_cartesian(
     groups: Optional[Sequence[str]] = None,
     *,
     check_nonempty: bool = False,
+    auto_rename: bool = True,
 ) -> DataFrame:
     """Cartesian-expand ``dfs`` within each group combination.
 
-    Non-group column names must be unique across inputs (the reference
-    relies on data.table's ``i.`` auto-prefixing; this engine requires
-    explicit disambiguation — rename before calling).
+    Colliding non-group column names in later inputs are auto-renamed
+    with an ``i_`` prefix, repeated until unused — mirroring the
+    reference's ``i.``-prefix gensym (create_unused_name,
+    timeperiod_functions.R:5-12, applied at :33). Spark column names
+    with dots need backtick quoting everywhere, hence ``i_`` instead of
+    ``i.`` (same documented deviation as remove_overlaps' ``o_``).
+    Pass ``auto_rename=False`` to make collisions a hard error instead.
 
     ``check_nonempty=True`` reproduces the reference's eager
     "one or more data.tables have no rows" error
@@ -39,20 +44,29 @@ def grouped_cartesian(
     if len(dfs) < 2:
         raise RoleValidationError("grouped_cartesian needs at least two DataFrames")
     groups = list(groups or [])
-    seen: dict[str, int] = {}
+    seen: set[str] = set()
+    renamed_dfs: list[DataFrame] = []
     for i, df in enumerate(dfs):
-        for c in df.columns:
-            if c in groups:
-                continue
-            if c in seen:
-                raise RoleValidationError(
-                    f"non-group column {c!r} appears in inputs {seen[c]} and {i}; "
-                    "rename to disambiguate"
-                )
-            seen[c] = i
         missing = [g for g in groups if g not in df.columns]
         if missing:
             raise RoleValidationError(f"group columns {missing} missing from input {i}")
+        out = df
+        for c in df.columns:
+            if c in groups:
+                continue
+            name = c
+            while name in seen:
+                if not auto_rename:
+                    raise RoleValidationError(
+                        f"non-group column {c!r} appears in multiple inputs; "
+                        "rename to disambiguate (or leave auto_rename=True)"
+                    )
+                name = f"i_{name}"
+            if name != c:
+                out = out.withColumnRenamed(c, name)
+            seen.add(name)
+        renamed_dfs.append(out)
+    dfs = renamed_dfs
     if check_nonempty:
         for i, df in enumerate(dfs):
             if df.limit(1).count() == 0:

@@ -287,6 +287,7 @@ def interval_weighted_avg(
     group_vars: Optional[Sequence[str]] = None,
     required_percentage: float = 100.0,
     skip_overlap_check: bool = False,
+    verbose: bool = False,
     *,
     validate: bool = True,
     assume_y_distinct: bool = False,
@@ -297,8 +298,12 @@ def interval_weighted_avg(
 ) -> DataFrame:
     """Average interval-measured values onto an arbitrary period schedule.
 
-    Parameters mirror the reference API (timeperiod_functions.R:117-120);
-    the keyword-only extras are scale controls with no semantic effect:
+    Parameters mirror the reference API (timeperiod_functions.R:117-120),
+    including ``verbose`` (the reference's step-timing flag,
+    timeperiod_functions.R:117 used at :223+): here it prints the eager
+    validation timings and the physical choices (join strategy, y
+    dedup) — the lazy stages are visible in the Spark UI instead.
+    The keyword-only extras are scale controls with no semantic effect:
 
     - ``validate=False`` skips every eager (action-triggering) integrity
       check — for production pipelines over pre-validated data. The
@@ -339,11 +344,31 @@ def interval_weighted_avg(
         _grid(interval_vars[1], yf[interval_vars[1]]).alias("__ye"),
     )
 
+    import time as _time
+
+    def _vlog(msg: str) -> None:
+        if verbose:
+            print(f"[interval_weighted_avg] {msg}", flush=True)
+
     if validate:
+        _t0 = _time.time()
         _check_y_intervals(yw)
+        _vlog(f"y validation (null/reversed/dup scan): {_time.time() - _t0:.2f}s")
+        _t0 = _time.time()
         _check_x_integrity(xw, n_g, skip_overlap_check)
+        _vlog(
+            f"x integrity (null/reversed/dup{'' if skip_overlap_check else '/overlap'}"
+            f" scan): {_time.time() - _t0:.2f}s"
+        )
+    else:
+        _vlog("validation skipped (validate=False)")
 
     yd = yw if assume_y_distinct else yw.dropDuplicates(ygcols + ["__ys", "__ye"])
+    _vlog(
+        f"plan: join_strategy={join_strategy!r} n_groups={n_g} "
+        f"n_values={n_v} y_dedup={not assume_y_distinct} "
+        f"required_percentage={required_percentage}"
+    )
 
     # --- pair stage: every (y period, x interval) overlap, inner ---
     pairs = build_overlap_pairs(

@@ -47,8 +47,10 @@ MEDIA_SCHEMA = T.StructType(
 
 def synthetic_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic fake media rows: payload = repeatable bytes derived
-    from media_id (sha256 counter stream), metadata sized by id. Stands
-    in for a parquet/Iceberg table of crawled bytes."""
+    from media_id (sha256 of its decimal string — a form ANSI SQL can
+    reproduce, so the driver oracle checks the features numerically),
+    metadata sized by id. Stands in for a parquet/Iceberg table of
+    crawled bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -57,7 +59,7 @@ def synthetic_media(spark, n: int, kind: str = "image") -> DataFrame:
                 "media_id": ids,
                 "kind": [kind] * len(ids),
                 "payload": [
-                    hashlib.sha256(int(i).to_bytes(8, "little")).digest()
+                    hashlib.sha256(str(int(i)).encode()).digest()
                     * (8 + int(i) % 8)
                     for i in ids
                 ],
@@ -113,7 +115,12 @@ def extract_features(
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 nbytes.append(len(buf))
                 hist = np.bincount(buf % dim, minlength=dim).astype(np.float64)
-                norm = np.linalg.norm(hist)
+                # sequential sum-of-squares (np.sum is sequential below
+                # its 128-element pairwise block) so the norm is
+                # bit-reproducible by the oracle's left-fold list_sum;
+                # np.linalg.norm routes through BLAS dot, which may
+                # associate differently
+                norm = float(np.sqrt((hist * hist).sum()))
                 feats.append((hist / norm if norm else hist).astype(np.float32))
             yield pd.DataFrame(
                 {

