@@ -138,54 +138,87 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     return times, extras
 
 
-def scaling_runs() -> dict:
-    """Same tier job at N and 4N cores on identical input.
+def _cpu_probe() -> float:
+    """Single-thread fixed LCG burn (seconds) — a host-steal canary
+    recorded alongside every scaling rep. Identical work every call;
+    on a quiet host it measures ~0.19-0.25 s, so values far above that
+    flag co-tenant interference contaminating the adjacent run."""
+    import numpy as np
 
-    Default pair is local[4] vs local[16]: measured on this box, even
-    embarrassingly-parallel pure-codegen arithmetic tops out at ~2.4x
-    from 8->32 threads (full-width turbo/steal ceiling of the VM, not
-    an engine property — a pure-Python multiprocessing burn shows the
-    same ceiling), while 4->16 runs at ~3.8x. Both throughputs are
-    reported; override with SPARK_GRAFT_SCALE_CORES="8,32"."""
+    t0 = time.time()
+    x = np.arange(2_000_000, dtype=np.int64)
+    for _ in range(20):
+        x = (x * 48271 + 11) % 2147483647
+    return round(time.time() - t0, 3)
+
+
+def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
+    out: dict = {"n_docs": n_scale, "cores": [lo, hi], "reps": reps}
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    probes: dict[int, list[float]] = {lo: [], hi: []}
+    # interleave legs; min-of-reps is the least-host-steal estimate
+    # (this sandbox shows >2x wall-clock variance between identical
+    # runs from co-tenant load)
+    for rep in range(reps):
+        for cores in (lo, hi):
+            probes[cores].append(_cpu_probe())
+            cat = os.path.join(tmp, f"cat{cores}_{rep}")
+            man = os.path.join(tmp, f"man{cores}_{rep}")
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
+                 "--n-docs", str(n_scale), "--batches", "1",
+                 "--catalog", cat, "--manifest", man,
+                 "--master", f"local[{cores}]"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            runs[cores].append(json.loads(line))
+            shutil.rmtree(cat, ignore_errors=True)
+            shutil.rmtree(man, ignore_errors=True)
+    for cores in (lo, hi):
+        best = min(runs[cores], key=lambda m: m["seconds"])
+        out[f"local{cores}"] = {
+            "seconds": best["seconds"],
+            "docs_per_sec": best["docs_per_sec"],
+            "points_per_sec": best["points_per_sec"],
+            "all_seconds": [m["seconds"] for m in runs[cores]],
+            "cpu_probe_seconds": probes[cores],
+        }
+    thr_lo = out[f"local{lo}"]["docs_per_sec"]
+    thr_hi = out[f"local{hi}"]["docs_per_sec"]
+    out["speedup"] = round(thr_hi / thr_lo, 3)
+    out["scaling_efficiency"] = round(thr_hi / thr_lo / (hi / lo), 3)
+    return out
+
+
+def scaling_runs() -> dict:
+    """Same tier job at N and 4N cores on identical input (north rule).
+
+    Primary pair from SPARK_GRAFT_SCALE_CORES; a secondary pair
+    (SPARK_GRAFT_SCALE_CORES2, default the other of {2,8}/{4,16}) is
+    also reported so the full curve is visible. Per-rep single-thread
+    CPU probes ride along as host-steal evidence: this VM shows >2x
+    wall-clock variance between identical runs, and even pure-codegen
+    arithmetic tops out well below 4x from 8->32 threads (full-width
+    turbo/steal ceiling — a plain multiprocessing burn reproduces it
+    with no Spark involved), which is why the evidence pairs sit at
+    the low-thread end of the machine."""
     lo, hi = (
         int(c)
-        for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
+        for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
     n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "256000000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    out = {"n_docs": n_scale, "cores": [lo, hi], "reps": reps}
     tmp = tempfile.mkdtemp(prefix="bench_scale_")
     try:
-        runs: dict[int, list[dict]] = {lo: [], hi: []}
-        # interleave legs; min-of-reps is the least-host-steal estimate
-        # (this sandbox shows >2x wall-clock variance between identical
-        # runs from co-tenant load)
-        for rep in range(reps):
-            for cores in (lo, hi):
-                cat = os.path.join(tmp, f"cat{cores}_{rep}")
-                man = os.path.join(tmp, f"man{cores}_{rep}")
-                r = subprocess.run(
-                    [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
-                     "--n-docs", str(n_scale), "--batches", "1",
-                     "--catalog", cat, "--manifest", man,
-                     "--master", f"local[{cores}]"],
-                    capture_output=True, text=True, timeout=1800,
-                )
-                line = r.stdout.strip().splitlines()[-1]
-                runs[cores].append(json.loads(line))
-                shutil.rmtree(cat, ignore_errors=True)
-        for cores in (lo, hi):
-            best = min(runs[cores], key=lambda m: m["seconds"])
-            out[f"local{cores}"] = {
-                "seconds": best["seconds"],
-                "docs_per_sec": best["docs_per_sec"],
-                "points_per_sec": best["points_per_sec"],
-                "all_seconds": [m["seconds"] for m in runs[cores]],
-            }
-        thr_lo = out[f"local{lo}"]["docs_per_sec"]
-        thr_hi = out[f"local{hi}"]["docs_per_sec"]
-        out["speedup"] = round(thr_hi / thr_lo, 3)
-        out["scaling_efficiency"] = round(thr_hi / thr_lo / (hi / lo), 3)
+        out = _scaling_pair(lo, hi, n_scale, reps, tmp)
+        sec = os.environ.get(
+            "SPARK_GRAFT_SCALE_CORES2", "4,16" if (lo, hi) == (2, 8) else "2,8"
+        )
+        if sec and sec != "0":
+            lo2, hi2 = (int(c) for c in sec.split(","))
+            reps2 = int(os.environ.get("SPARK_GRAFT_SCALE_REPS2", "2"))
+            out["secondary"] = _scaling_pair(lo2, hi2, n_scale, reps2, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

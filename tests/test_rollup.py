@@ -310,3 +310,28 @@ def test_rollup_endpoint_validation(spark):
         ok = rollup_regular(bad_null, ("s", "e"), ("v",), ("g",), width=1,
                             partial=True, algorithm=algorithm, validate=False)
         assert ok.count() == 0
+
+
+def test_group_dim_supplied_matches_and_guards(spark, tok):
+    """A caller-supplied decode dim (kills the fallback distinct scan of
+    the source) must produce identical output — and an INCOMPLETE dim
+    must raise, not silently drop groups."""
+    enc = {"source": F.substring("source", 5, 3).cast("int")}
+    kw = dict(width=24, required_percentage=0.0, group_encoders=enc)
+    full_dim = spark.range(11).selectExpr("concat('src_', id) AS source")
+    a = rollup_regular(tok, ("start_hour", "end_hour"), ("n_tok",), ("source",), **kw)
+    b = rollup_regular(tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+                       group_dim=full_dim, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    bad_dim = spark.range(2).selectExpr("concat('src_', id) AS source")
+    for algorithm in ("explode", "sweep"):
+        with pytest.raises(Exception, match="group_dim is missing"):
+            # collect, not count: count() prunes every column expression
+            # (the guard is threaded through `period`); rows are never
+            # silently dropped either way — the decode is a LEFT join
+            rollup_regular(
+                tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+                width=1 if algorithm == "sweep" else 24,
+                partial=True, group_encoders=enc, group_dim=bad_dim,
+                algorithm=algorithm,
+            ).collect()

@@ -38,7 +38,12 @@ PARTIAL_COLS = ("xduration", "xminstart", "xmaxend")
 
 
 def _nullsafe_broadcast_join(
-    left: DataFrame, dim: DataFrame, keys: Sequence[str], *, drop_keys: bool = True
+    left: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    *,
+    drop_keys: bool = True,
+    require_match_col: Optional[str] = None,
 ) -> DataFrame:
     """Broadcast-join ``dim`` onto ``left`` matching NULL keys to NULL.
 
@@ -46,7 +51,13 @@ def _nullsafe_broadcast_join(
     but NULL group keys are legal everywhere else in this engine
     (reference tests.R:564-580; strategy.py uses eqNullSafe). Renames
     the dim's key columns to avoid ambiguity, joins with ``<=>``, and
-    drops the duplicated key columns."""
+    drops the duplicated key columns.
+
+    With ``require_match_col`` (the name of a column that survives into
+    the caller's output), the join turns left-outer with a threaded
+    assert that every left row found a dim match — used when the dim is
+    USER-SUPPLIED and an incomplete one would otherwise silently drop
+    whole groups."""
     from functools import reduce
 
     keys = list(keys)
@@ -57,7 +68,23 @@ def _nullsafe_broadcast_join(
         lambda a, b: a & b,
         [F.col(k).eqNullSafe(F.col(f"__dk_{k}")) for k in keys],
     )
-    out = left.join(F.broadcast(dimr), cond).drop(*[f"__dk_{k}" for k in keys])
+    if require_match_col is None:
+        out = left.join(F.broadcast(dimr), cond)
+    else:
+        dimr = dimr.withColumn("__dim_ok", F.lit(True))
+        out = left.join(F.broadcast(dimr), cond, "left")
+        guard = F.assert_true(
+            F.col("__dim_ok").isNotNull(),
+            F.lit(
+                "group_dim is missing group values present in the data "
+                "(it must cover every distinct group combination)"
+            ),
+        )
+        out = out.withColumn(
+            require_match_col,
+            F.when(guard.isNull(), F.col(require_match_col)),
+        ).drop("__dim_ok")
+    out = out.drop(*[f"__dk_{k}" for k in keys])
     return out.drop(*keys) if drop_keys else out
 
 
@@ -102,6 +129,7 @@ def rollup_regular(
     group_encoders: Optional[dict] = None,
     algorithm: str = "explode",
     validate: bool = True,
+    group_dim: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Roll interval-measured values onto a regular period grid.
 
@@ -144,7 +172,17 @@ def rollup_regular(
         from pyspark.sql import Window as _W
 
         enc_cols = [c for c in group_vars if c in group_encoders]
-        dim = x.select(*group_vars).dropDuplicates()
+        # The decode dim defaults to a distinct scan of x — which is a
+        # SECOND full pass over the source (for a generated/columnar
+        # input that doubles the job's compute; measured as a whole
+        # extra 64-task stage on the 256M-doc tier job). Callers that
+        # know their group domain pass ``group_dim`` (a tiny distinct
+        # frame of the group columns) and the scan disappears.
+        dim = (
+            group_dim.select(*group_vars).dropDuplicates()
+            if group_dim is not None
+            else x.select(*group_vars).dropDuplicates()
+        )
         for c in enc_cols:
             dim = dim.withColumn(f"__e_{c}", group_encoders[c])
             x = x.withColumn(f"__e_{c}", group_encoders[c]).drop(c)
@@ -237,7 +275,7 @@ def rollup_regular(
         return _rollup_sweep_unit(
             x, s, e, value_vars, group_vars, user_group_vars, dim,
             group_encoders, origin, partial, required_percentage,
-            validate=validate,
+            validate=validate, dim_user_supplied=group_dim is not None,
         )
     if width == 1:
         # Unit-width special case (the hourly base tier hot path): every
@@ -295,7 +333,10 @@ def rollup_regular(
         agg = (
             # null-safe: a group_encoders expression may yield NULL for
             # some group value — that encoded key must still decode
-            _nullsafe_broadcast_join(agg, dim, decode_keys)
+            _nullsafe_broadcast_join(
+                agg, dim, decode_keys,
+                require_match_col="period" if group_dim is not None else None,
+            )
             .select(
                 *user_group_vars,
                 "period",
@@ -331,6 +372,7 @@ def _rollup_sweep_unit(
     partial: bool,
     required_percentage: float,
     validate: bool = True,
+    dim_user_supplied: bool = False,
 ) -> DataFrame:
     """Width-1 sweep backend for rollup_regular (see caller comment)."""
     from pyspark.sql import Window as _W
@@ -428,7 +470,10 @@ def _rollup_sweep_unit(
             if group_encoders
             else ["__gid"]
         )
-        out = _nullsafe_broadcast_join(out, dim, decode_keys)
+        out = _nullsafe_broadcast_join(
+            out, dim, decode_keys,
+            require_match_col="period" if dim_user_supplied else None,
+        )
     out = out.select(
         *user_group_vars,
         "period",

@@ -38,6 +38,7 @@ def ingest_batch(
     algorithm: str = "explode",
     validate: bool = True,
     parallel_cascades: bool = True,
+    group_dim=None,
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -87,6 +88,9 @@ def ingest_batch(
         group_encoders=group_encoders,
         algorithm=algorithm,
         validate=validate,
+        # a caller-known group domain kills the decode dim's second
+        # full scan of the source (see rollup_regular)
+        group_dim=group_dim,
     )
     # Write-tail overlap: materialize the base partials ONCE (the only
     # pass over raw data), then the base tier's parquet write and every
