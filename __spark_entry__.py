@@ -918,6 +918,7 @@ from timeperiods_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_lsh,
     srp_bucket_sql,
+    srp_probe_buckets_sql,
 )
 
 
@@ -1213,6 +1214,54 @@ QUALIFY rank <= 10
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the fifth dedup mode): the
+    corpus plus exact scaled copies (cosine 1.0 by construction) of the
+    first 20 vectors; SRP multi-probe candidates verified by exact
+    cosine. The oracle replays the identical bucket/probe arithmetic."""
+    from timeperiods_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    allv = emb.unionByName(copies)
+    out = embedding_neardup_pairs(
+        allv, "vec_id", "embedding", dim=64, n_planes=8, threshold=0.6, probes=1
+    )
+    return out.select("id_a", "id_b", F.round("cosine", _R).alias("cosine"))
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH allv AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) AS v
+  FROM embeddings WHERE vec_id < 20
+),
+b AS (SELECT id, v, {srp_bucket_sql('v', 64, 8)} AS bk FROM allv),
+probed AS (
+  SELECT id AS id_a, unnest({srp_probe_buckets_sql('bk', 8)}) AS pb FROM b
+),
+cand AS (
+  SELECT DISTINCT p.id_a, r.id AS id_b
+  FROM probed p JOIN b r ON p.pb = r.bk AND p.id_a < r.id
+),
+wv AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, bb.v) /
+         (CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)) > 0
+               THEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)) END) AS cos
+  FROM cand c JOIN b a ON a.id = c.id_a JOIN b bb ON bb.id = c.id_b
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM wv WHERE cos >= 0.6
+"""
+
+
 def q_textops(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1246,6 +1295,7 @@ _PIPELINE_QUERIES = {
     "cosine_topk_bruteforce": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_lsh,
     "cosine_topk_lsh_highdim": q_cosine_lsh_highdim,
+    "embedding_neardup_pairs": q_embedding_neardup,
     "text_analysis": q_textops,
 }
 
@@ -1259,5 +1309,6 @@ _PIPELINE_ORACLES = {
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_LSH,
     "cosine_topk_lsh_highdim": SQL_COSINE_LSH_HIGHDIM,
+    "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
     "text_analysis": SQL_TEXTOPS,
 }

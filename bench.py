@@ -156,10 +156,8 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
     out: dict = {"n_docs": n_scale, "cores": [lo, hi], "reps": reps}
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     probes: dict[int, list[float]] = {lo: [], hi: []}
-    # interleave legs; min-of-reps is the least-host-steal estimate
-    # (this sandbox shows >2x wall-clock variance between identical
-    # runs from co-tenant load)
-    for rep in range(reps):
+
+    def one_round(rep: int) -> None:
         for cores in (lo, hi):
             probes[cores].append(_cpu_probe())
             cat = os.path.join(tmp, f"cat{cores}_{rep}")
@@ -175,6 +173,25 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
             runs[cores].append(json.loads(line))
             shutil.rmtree(cat, ignore_errors=True)
             shutil.rmtree(man, ignore_errors=True)
+
+    # interleave legs; min-of-reps is the least-host-steal estimate
+    # (this sandbox shows >2x wall-clock variance between identical
+    # runs from co-tenant load)
+    for rep in range(reps):
+        one_round(rep)
+    # measurement hygiene, not cherry-picking: if the probe ADJACENT to
+    # some leg's best rep shows the host was busy (>0.35 s vs ~0.2 s
+    # quiet), every rep of that leg was likely inflated — run up to
+    # SPARK_GRAFT_SCALE_EXTRA additional interleaved rounds. The rule
+    # keys on the steal canary only, never on the resulting efficiency,
+    # and min-of-reps under one-sided noise only tightens the estimate.
+    extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "2"))
+    for i in range(extra):
+        besti = {c: min(range(len(runs[c])), key=lambda j: runs[c][j]["seconds"])
+                 for c in (lo, hi)}
+        if all(probes[c][besti[c]] <= 0.35 for c in (lo, hi)):
+            break
+        one_round(reps + i)
     for cores in (lo, hi):
         best = min(runs[cores], key=lambda m: m["seconds"])
         out[f"local{cores}"] = {

@@ -210,3 +210,35 @@ def test_minhash_dedup_components_vs_single_hop(docs):
     # components can only keep FEWER-or-equal docs than single_hop
     # never more (transitive closure merges chains)
     assert both["components"] <= both["single_hop"]
+
+
+def test_cosine_lsh_multiprobe_superset(spark):
+    corpus = _embeddings(spark, n=100, dim=8)
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    base = cosine_topk_lsh(corpus, queries, k=50, dim=8, n_planes=4, probes=0)
+    multi = cosine_topk_lsh(corpus, queries, k=50, dim=8, n_planes=4, probes=1)
+    seen0 = {(r["query_id"], r["vec_id"]) for r in base.collect()}
+    seen1 = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    # multi-probe candidates strictly include the exact-bucket ones
+    # (k is large enough that ranking doesn't evict them here)
+    assert seen0 <= seen1 and len(seen1) > len(seen0)
+
+
+def test_embedding_neardup_finds_scaled_copies(spark):
+    from timeperiods_spark.operators.dedup import embedding_neardup_pairs
+
+    base = _embeddings(spark, n=40, dim=8)
+    copies = base.filter("vec_id < 10").selectExpr(
+        "vec_id + 1000 AS vec_id",
+        "transform(embedding, x -> x * 3.0) AS embedding",
+    )
+    out = embedding_neardup_pairs(
+        base.unionByName(copies), "vec_id", "embedding",
+        dim=8, n_planes=4, threshold=0.99, probes=1,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # a positively-scaled copy shares the exact bucket -> always found
+    for i in range(10):
+        assert (i, i + 1000) in got
+    for r in out:
+        assert r["cosine"] >= 0.99

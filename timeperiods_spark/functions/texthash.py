@@ -74,7 +74,13 @@ def poly_hash_sql(sh: str, k: int) -> str:
 
 
 def shingle_hashes_spark(col: Column, k: int) -> Column:
-    """array<long> of distinct polynomial shingle hashes."""
+    """array<long> of distinct polynomial shingle hashes.
+
+    Deliberately extracts the k-char shingle strings first and hashes
+    those: UTF8String.substr is O(position) (no random character
+    access), so hashing straight off text positions would probe the
+    full string k times per position — measured ~1.5x slower than one
+    shingle extraction + k probes of a k-char string."""
     return F.array_distinct(
         F.transform(shingles_spark(col, k), lambda sh: poly_hash_spark(sh, k))
     )

@@ -100,7 +100,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query set against
     the corpus, rank per query. Columns: query_id, vec_id, cosine, rank."""
-    c = corpus.select(
+    from ..functions.grid import spread_input
+
+    c = spread_input(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
@@ -153,6 +155,28 @@ def srp_bucket_sql(vec_expr: str, dim: int, n_planes: int) -> str:
     return "(" + " + ".join(parts) + ")::BIGINT"
 
 
+def srp_probe_buckets(bucket: Column, n_planes: int, probes: int = 1) -> Column:
+    """Multi-probe bucket set: the row's own SRP bucket plus every
+    bucket at hamming distance 1 (each single plane-bit flipped).
+    Flipping the least-confident planes first is the classic refinement;
+    flipping ALL single bits is the deterministic superset of it, which
+    keeps the DuckDB oracle exact. probes=0 → just the own bucket."""
+    if probes not in (0, 1):
+        raise ValueError("probes must be 0 (exact bucket) or 1 (all single-bit flips)")
+    if probes == 0:
+        return F.array(bucket)
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+
+
+def srp_probe_buckets_sql(bucket_expr: str, n_planes: int, probes: int = 1) -> str:
+    if probes == 0:
+        return f"[{bucket_expr}]"
+    flips = ", ".join(f"xor({bucket_expr}, {1 << p})" for p in range(n_planes))
+    return f"[{bucket_expr}, {flips}]"
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,21 +188,38 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_planes: int = 8,
     partial_topk: bool = True,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, rank only within the
-    query's bucket. Same output shape as cosine_topk; recall < 1 by
-    construction (cross-bucket neighbors are missed)."""
-    c = corpus.select(
+    query's bucket(s). Same output shape as cosine_topk; recall < 1 by
+    construction (cross-bucket neighbors are missed). ``probes=1``
+    multi-probes each query into all buckets one plane-flip away —
+    ~(n_planes+1)x the candidate volume for a large recall gain; the
+    fan-out rides on the (small, broadcast) query side only."""
+    from ..functions.grid import spread_input
+
+    c = spread_input(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).withColumn("__bucket", srp_bucket(F.col("__cv"), dim, n_planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__bucket", srp_bucket(F.col("__qv"), dim, n_planes))
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            srp_probe_buckets(
+                srp_bucket(F.col("__qv"), dim, n_planes), n_planes, probes
+            )
+        ),
+    )
     scored = c.join(F.broadcast(q), "__bucket").select(
         "query_id",
         "vec_id",
         cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
+    if probes > 0:
+        # a corpus vector can match a query through several probe
+        # buckets — dedup before ranking so rank stays a bijection
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     return _ranked_topk(scored, k, partial_topk)
