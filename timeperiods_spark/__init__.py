@@ -16,8 +16,19 @@ from .errors import (
     TimeperiodsError,
 )
 from .functions.compression import compress_series, decompress_series
-from .functions.grid import salted_repartition, timestamp_to_grid
+from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
+from .operators.dedup import (
+    connected_components,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_frame,
+    simhash_pairs,
+)
+from .operators.similarity import cosine, cosine_topk, cosine_topk_lsh
 from .operators.rollup import (
     cascade,
     finalize_rollup,
@@ -55,7 +66,19 @@ __all__ = [
     "ResumableJob",
     "ingest_batch",
     "salted_repartition",
+    "spread_input",
     "timestamp_to_grid",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_candidate_pairs",
+    "minhash_dedup",
+    "connected_components",
+    "simhash_frame",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+    "cosine",
+    "cosine_topk",
+    "cosine_topk_lsh",
     "get_spark",
     "RESERVED_OUTPUT_NAMES",
     "TimeperiodsError",
