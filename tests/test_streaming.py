@@ -121,3 +121,57 @@ def test_windowed_rollup_stream_matches_batch_agg(spark, tmp_path):
         assert r["n_events"] == b["n_events"]
         assert r["sum_value"] == pytest.approx(b["sum_value"])
         assert r["first_ts"] == b["first_ts"] and r["last_ts"] == b["last_ts"]
+
+
+def test_stateful_locf_stream_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState gap-fill: the carried value must cross
+    MICRO-BATCH boundaries (checkpointed state), not just row groups.
+    Batch 1 observes periods 0 and 3 of group 'a'; batch 2 observes
+    period 6 — the 4,5 gap rows must fill with batch-1's last value."""
+    import pyspark.sql.types as T
+
+    from timeperiods_spark.streaming.stream_ingest import stateful_locf_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("period", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def run_once(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src) if part else spark.createDataFrame(rows, schema).coalesce(
+            1
+        ).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        filled = stateful_locf_stream(stream, ["g"], "period", "v")
+        q = (
+            filled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once([("a", 0, 10.0), ("a", 3, 13.0), ("b", 5, 50.0)], part=False)
+    run_once([("a", 6, 16.0)], part=True)
+
+    got = {
+        (r["g"], r["period"]): (r["v"], r["gap_filled"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("a", 0)] == (10.0, False)
+    assert got[("a", 1)] == (10.0, True) and got[("a", 2)] == (10.0, True)
+    assert got[("a", 3)] == (13.0, False)
+    # the cross-batch carry: gaps 4,5 filled from batch-1 state
+    assert got[("a", 4)] == (13.0, True) and got[("a", 5)] == (13.0, True)
+    assert got[("a", 6)] == (16.0, False)
+    assert got[("b", 5)] == (50.0, False) and len(got) == 8

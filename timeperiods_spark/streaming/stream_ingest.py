@@ -104,3 +104,77 @@ def windowed_rollup_stream(
             "last_ts",
         )
     )
+
+
+def stateful_locf_stream(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming gap-fill/LOCF as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``) — the one tier operation native
+    windowed aggregation cannot express, because filling a gap needs
+    the last observation carried across micro-batch boundaries.
+
+    Per group, the state is (last_period, last_value). Each micro-batch
+    emits one row per grid period from the previous watermark point to
+    the batch's max period: observed periods carry their (mean) value
+    with ``gap_filled=false``; missing periods repeat the carried value
+    with ``gap_filled=true`` (the batch ``gap_fill_locf`` contract,
+    SURVEY.md §7 M5). A gap is emitted when the NEXT observation
+    arrives — no timeout-based speculation, so replays are
+    deterministic and the stream stays append-only. State size is O(1)
+    per group (two scalars) regardless of history length.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    group_cols = list(group_cols)
+    gfields = [f for f in events.schema.fields if f.name in group_cols]
+    out_schema = T.StructType(
+        gfields
+        + [
+            T.StructField(period_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("gap_filled", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_period", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+        ]
+    )
+
+    def fill(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # one value per period inside the batch (mean of duplicates),
+        # ordered — the stateful walk needs monotone periods
+        obs = (
+            pdf.groupby(period_col)[value_col].mean().sort_index()
+        )
+        last_p, last_v = state.get if state.exists else (None, None)
+        out_p, out_v, out_g = [], [], []
+        for p, v in obs.items():
+            p = int(p)
+            if last_p is not None:
+                for gap in range(last_p + 1, p):
+                    out_p.append(gap)
+                    out_v.append(last_v)
+                    out_g.append(True)
+            out_p.append(p)
+            out_v.append(float(v))
+            out_g.append(False)
+            last_p, last_v = p, float(v)
+        state.update((last_p, last_v))
+        frame = pd.DataFrame({period_col: out_p, value_col: out_v, "gap_filled": out_g})
+        for g, val in zip(group_cols, key):
+            frame[g] = val
+        yield frame[group_cols + [period_col, value_col, "gap_filled"]]
+
+    return events.groupBy(*group_cols).applyInPandasWithState(
+        fill, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
