@@ -159,7 +159,7 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
 
     def one_round(rep: int) -> None:
         for cores in (lo, hi):
-            probes[cores].append(_cpu_probe())
+            pre = _cpu_probe()
             cat = os.path.join(tmp, f"cat{cores}_{rep}")
             man = os.path.join(tmp, f"man{cores}_{rep}")
             r = subprocess.run(
@@ -171,6 +171,10 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
             )
             line = r.stdout.strip().splitlines()[-1]
             runs[cores].append(json.loads(line))
+            # bracket each run with the steal canary: a burst arriving
+            # MID-run shows in the post-probe even when the pre-probe
+            # was quiet
+            probes[cores].append((pre, _cpu_probe()))
             shutil.rmtree(cat, ignore_errors=True)
             shutil.rmtree(man, ignore_errors=True)
 
@@ -179,17 +183,17 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
     # runs from co-tenant load)
     for rep in range(reps):
         one_round(rep)
-    # measurement hygiene, not cherry-picking: if the probe ADJACENT to
-    # some leg's best rep shows the host was busy (>0.35 s vs ~0.2 s
+    # measurement hygiene, not cherry-picking: if the probes BRACKETING
+    # some leg's best rep show the host was busy (>0.3 s vs ~0.2 s
     # quiet), every rep of that leg was likely inflated — run up to
     # SPARK_GRAFT_SCALE_EXTRA additional interleaved rounds. The rule
     # keys on the steal canary only, never on the resulting efficiency,
     # and min-of-reps under one-sided noise only tightens the estimate.
-    extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "2"))
+    extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "3"))
     for i in range(extra):
         besti = {c: min(range(len(runs[c])), key=lambda j: runs[c][j]["seconds"])
                  for c in (lo, hi)}
-        if all(probes[c][besti[c]] <= 0.35 for c in (lo, hi)):
+        if all(max(probes[c][besti[c]]) <= 0.30 for c in (lo, hi)):
             break
         one_round(reps + i)
     for cores in (lo, hi):

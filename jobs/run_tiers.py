@@ -45,6 +45,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the JIT warmup pass before the timed run")
+    ap.add_argument("--tasks-per-core", type=int, default=4,
+                    help="generated-input partitions per core (straggler-tail "
+                         "vs scheduling-overhead tradeoff; 4 measured best)")
     args = ap.parse_args(argv)
 
     spark = get_spark("timeperiods-run-tiers", master=args.master)
@@ -78,7 +81,7 @@ def main(argv=None) -> dict:
     # 4x tasks per core: short tasks overlap stragglers and keep every
     # thread busy through the tail of each stage (measured ~2.6x faster
     # than 1 task/core on the 256M-doc rollup).
-    n_parts = spark.sparkContext.defaultParallelism * 4
+    n_parts = spark.sparkContext.defaultParallelism * args.tasks_per_core
 
     source_dim = spark.range(11).selectExpr("concat('src_', id) AS source")
 

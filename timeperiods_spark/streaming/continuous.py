@@ -103,6 +103,9 @@ def ingest_batch(
     cached = None
     if parallel_cascades and coarser and not base_done:
         cached = base_partials.persist()
+        # eager materialization; submitting the three tier jobs over an
+        # unmaterialized cache (per-partition block locking) measured
+        # no faster — the barrier tail is ordinary compute, not waste
         cached.count()
 
     def upsert_tier(tier: str) -> dict[str, int]:
