@@ -114,8 +114,15 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
 
     tok = token_table(spark, N_DOCS, partitions=CPUS * 4)
     t0 = time.time()
-    hourly = rollup_regular(tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
-                            width=1, partial=True).cache()
+    # the recommended hot-path configuration (same as jobs/run_tiers.py):
+    # boundary sweep, int-encoded group keys with a caller-known decode
+    # dim, endpoint asserts off for the trusted generator
+    hourly = rollup_regular(
+        tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        width=1, partial=True, algorithm="sweep", validate=False,
+        group_encoders={"source": F.substring("source", 5, 3).cast("int")},
+        group_dim=spark.range(11).selectExpr("concat('src_', id) AS source"),
+    ).cache()
     pts = hourly.count()
     daily = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=24)
     weekly = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=168)
