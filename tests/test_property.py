@@ -1,0 +1,144 @@
+"""Hypothesis property tests — randomized search beyond the seeded
+reference scenarios (SURVEY.md §5 uses fixed seeds; these explore the
+input space). Spark examples are kept few and tiny (each example is a
+full job); the pure-numpy codec gets a wide sweep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timeperiods_spark import interval_weighted_avg, remove_overlaps
+from timeperiods_spark.functions.compression import gorilla_decode, gorilla_encode
+from timeperiods_spark.operators.interval_avg_slow import interval_weighted_avg_slow
+
+_SPARK_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _interval_rows(draw, max_rows=18, groups=2, span=60):
+    n = draw(st.integers(1, max_rows))
+    rows = []
+    for _ in range(n):
+        g = draw(st.integers(0, groups - 1))
+        a = draw(st.integers(0, span))
+        b = draw(st.integers(a, span))
+        rows.append((g, a, b))
+    return rows
+
+
+@st.composite
+def _panel(draw, groups=2):
+    """Non-overlapping x per group (built from gap/duration runs) with
+    optional NULL values, plus an arbitrary y schedule."""
+    xrows = []
+    for g in range(groups):
+        pos = draw(st.integers(0, 5))
+        for _ in range(draw(st.integers(1, 8))):
+            pos += draw(st.integers(1, 4))  # gap (>=1: closed intervals)
+            start = pos
+            pos += draw(st.integers(0, 5))  # duration - 1
+            v = draw(st.one_of(st.none(), st.integers(-5, 5)))
+            xrows.append((g, start, pos, None if v is None else float(v)))
+    yrows = []
+    for _ in range(draw(st.integers(1, 6))):
+        g = draw(st.integers(0, groups - 1))
+        a = draw(st.integers(0, 40))
+        b = draw(st.integers(a, 45))
+        yrows.append((g, a, b))
+    req = draw(st.sampled_from([0.0, 50.0, 100.0]))
+    return xrows, yrows, req
+
+
+@given(rows=_interval_rows())
+@settings(**_SPARK_SETTINGS)
+def test_remove_overlaps_tiling_property(spark, rows):
+    """Every original is tiled exactly by its atomic pieces: lengths
+    sum to the original's length, bounds match, no duplicate pieces
+    per original (reference property suite tests.R:18-50)."""
+    x = spark.createDataFrame(rows, "g int, s int, e int")
+    out = remove_overlaps(x, ("s", "e"), ("g",)).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["g"], r["o_s"], r["o_e"]), []).append((r["s"], r["e"]))
+    originals = {(g, a, b) for g, a, b in rows}
+    assert set(per) == originals
+    for (g, a, b), pieces in per.items():
+        assert len(set(pieces)) == len(pieces)
+        assert sum(pe - ps + 1 for ps, pe in pieces) == b - a + 1
+        assert min(ps for ps, _ in pieces) == a
+        assert max(pe for _, pe in pieces) == b
+        # pieces are disjoint and contiguous inside the original
+        ordered = sorted(pieces)
+        for (s1, e1), (s2, e2) in zip(ordered, ordered[1:]):
+            assert s2 == e1 + 1
+
+
+@given(panel=_panel())
+@settings(**_SPARK_SETTINGS)
+def test_iwa_fast_equals_slow_property(spark, panel):
+    """Differential property: the range-join engine equals the
+    explode-based oracle on arbitrary non-overlapping panels with NULL
+    values and any required_percentage."""
+    xrows, yrows, req = panel
+    x = spark.createDataFrame(xrows, "g int, s int, e int, v double")
+    y = spark.createDataFrame(yrows, "g int, s int, e int")
+    fast = interval_weighted_avg(x, y, ("s", "e"), ("v",), ("g",), req)
+    slow = interval_weighted_avg_slow(x, y, ("s", "e"), ("v",), ("g",), req)
+    key = lambda r: (r["g"], r["s"], r["e"])
+    fr = sorted(fast.collect(), key=key)
+    sr = sorted(slow.collect(), key=key)
+    assert len(fr) == len(sr)
+    for a, b in zip(fr, sr):
+        for c in fast.columns:
+            va, vb = a[c], b[c]
+            if isinstance(va, float) and isinstance(vb, float):
+                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (c, a, b)
+            else:
+                assert va == vb, (c, a, b)
+
+
+@given(
+    deltas=st.lists(st.integers(1, 1 << 40), min_size=0, max_size=120),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gorilla_roundtrip_property(deltas, data):
+    """Bit-exact codec round-trip over adversarial series: huge/irregular
+    period deltas (every dod token class), NaN runs, ±inf, signed zeros,
+    denormals, repeated values."""
+    n = len(deltas) + 1 if deltas else data.draw(st.integers(0, 1))
+    if n == 0:
+        periods = np.empty(0, dtype=np.int64)
+    else:
+        periods = np.cumsum(np.array([0] + deltas, dtype=np.int64))
+    pool = st.one_of(
+        st.just(float("nan")),
+        st.just(float("inf")),
+        st.just(float("-inf")),
+        st.just(0.0),
+        st.just(-0.0),
+        st.just(5e-324),  # denormal
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    values = np.array(
+        [data.draw(pool) for _ in range(len(periods))], dtype=np.float64
+    )
+    blob = gorilla_encode(periods, values)
+    dp, dv = gorilla_decode(blob)
+    assert list(dp) == list(periods)
+    assert len(dv) == len(values)
+    for got, want in zip(dv, values):
+        if math.isnan(want):
+            assert math.isnan(got)
+        else:
+            # bit-exact, including -0.0 vs 0.0 and infinities
+            assert np.float64(got).tobytes() == np.float64(want).tobytes()
