@@ -1214,6 +1214,75 @@ QUALIFY rank <= 10
 """
 
 
+def q_cosine_ivf(spark, sf_dir):
+    """IVF approximate top-k: one deterministic-centroid cell per corpus
+    vector, n_probe nearest cells scanned per query. The oracle derives
+    the same cells/probes from the identical centroid arithmetic via
+    unnest + window ranking."""
+    from timeperiods_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_ivf(
+        emb, queries_df, k=10, dim=64, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ivf_sql(dim: int, n_centroids: int, n_probe: int) -> str:
+    from timeperiods_spark.operators.similarity import (
+        _ivf_centroid,
+        _ivf_centroid_norm,
+    )
+
+    cents = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in _ivf_centroid(c, dim)) + "]"
+        for c in range(n_centroids)
+    ) + "]"
+    norms = "[" + ", ".join(
+        repr(_ivf_centroid_norm(c, dim)) for c in range(n_centroids)
+    ) + "]"
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cs AS (
+  SELECT vec_id, v, CAST(cl AS INT) AS cell,
+         list_dot_product(v, ({cents})[CAST(cl AS INT) + 1]) /
+         (({norms})[CAST(cl AS INT) + 1]) AS s
+  FROM c0, unnest(range({n_centroids})) AS t(cl)
+),
+c AS (
+  SELECT vec_id, v, cell FROM cs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v, cell FROM cs
+  WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.v) /
+         (CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)) > 0
+               THEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)) END) AS cosine
+  FROM c JOIN q ON c.cell = q.cell
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+SQL_COSINE_IVF = _ivf_sql(64, 16, 4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fifth dedup mode): the
     corpus plus exact scaled copies (cosine 1.0 by construction) of the
@@ -1295,6 +1364,7 @@ _PIPELINE_QUERIES = {
     "cosine_topk_bruteforce": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_lsh,
     "cosine_topk_lsh_highdim": q_cosine_lsh_highdim,
+    "cosine_topk_ivf": q_cosine_ivf,
     "embedding_neardup_pairs": q_embedding_neardup,
     "text_analysis": q_textops,
 }
@@ -1309,6 +1379,7 @@ _PIPELINE_ORACLES = {
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_LSH,
     "cosine_topk_lsh_highdim": SQL_COSINE_LSH_HIGHDIM,
+    "cosine_topk_ivf": SQL_COSINE_IVF,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
     "text_analysis": SQL_TEXTOPS,
 }

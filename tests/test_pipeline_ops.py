@@ -242,3 +242,18 @@ def test_embedding_neardup_finds_scaled_copies(spark):
         assert (i, i + 1000) in got
     for r in out:
         assert r["cosine"] >= 0.99
+
+
+def test_cosine_ivf_self_match_and_exact_scores(spark):
+    from timeperiods_spark.operators.similarity import cosine_topk_ivf
+
+    corpus = _embeddings(spark, n=120, dim=8)
+    queries = corpus.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk_ivf(corpus, queries, k=5, dim=8, n_centroids=8, n_probe=2).collect()
+    # a query's own vector lives in its nearest cell, which is always probed
+    selfs = {r["query_id"] for r in out if r["vec_id"] == r["query_id"]}
+    assert selfs == {0, 1, 2, 3}
+    exact = cosine_topk(corpus, queries, k=120).collect()
+    escore = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in out:
+        assert escore[(r["query_id"], r["vec_id"])] == pytest.approx(r["cosine"])

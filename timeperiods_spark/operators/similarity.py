@@ -223,3 +223,100 @@ def cosine_topk_lsh(
         # buckets — dedup before ranking so rank stays a bijection
         scored = scored.dropDuplicates(["query_id", "vec_id"])
     return _ranked_topk(scored, k, partial_topk)
+
+
+# ------------------------------------------------------------------ IVF
+
+def _ivf_centroid(c: int, dim: int) -> list[float]:
+    """Deterministic integer-arithmetic centroid — portable to ANSI SQL
+    verbatim, like the SRP planes."""
+    return [float((c * 7919 + i * 104729) % 211 - 105) for i in range(dim)]
+
+
+def _ivf_centroid_norm(c: int, dim: int) -> float:
+    import math
+
+    return math.sqrt(sum(v * v for v in _ivf_centroid(c, dim)))
+
+
+def _ivf_scores(vec: Column, dim: int, n_centroids: int) -> list[Column]:
+    """Per-centroid cosine-proportional scores: dot(v, centroid)/|centroid|
+    (|v| is constant across centroids so it cannot change the argmax).
+    The centroid norm is precomputed in Python and embedded as a literal
+    so both engines compare the exact same doubles."""
+    return [
+        _dot(vec, F.lit(_ivf_centroid(c, dim)))
+        / F.lit(_ivf_centroid_norm(c, dim))
+        for c in range(n_centroids)
+    ]
+
+
+def ivf_cell(vec: Column, dim: int, n_centroids: int) -> Column:
+    """Inverted-file cell id: index of the nearest centroid by cosine
+    (ties -> smallest index, via greatest() + first-match CASE — the
+    same shape the SQL twin uses, so comparisons are bit-identical)."""
+    scores = _ivf_scores(vec, dim, n_centroids)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.when(scores[0] == best, F.lit(0))
+    for c in range(1, n_centroids):
+        out = out.when(scores[c] == best, F.lit(c))
+    return out.cast("int")
+
+
+def ivf_query_cells(vec: Column, dim: int, n_centroids: int, n_probe: int) -> Column:
+    """The n_probe nearest cells for a query vector (array<int>), by
+    descending score then descending cell id — a deterministic order
+    both engines reproduce."""
+    scores = _ivf_scores(vec, dim, n_centroids)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(c).alias("c"))
+                for c, s in enumerate(scores)
+            ]
+        ),
+        asc=False,
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda x: x["c"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    partial_topk: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: every corpus vector lives
+    in exactly ONE cell (nearest deterministic centroid); each query
+    scans its n_probe nearest cells. Compared to SRP-LSH: recall is
+    tuned by n_probe instead of plane count, cells are size-balanced by
+    the centroid spread rather than hamming geometry, and the corpus is
+    never replicated (the probe fan-out rides on the query side).
+    Candidate pairs are unique by construction (one cell per corpus
+    row), so no dedup precedes ranking."""
+    from ..functions.grid import spread_input
+
+    c = spread_input(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", ivf_cell(F.col("__cv"), dim, n_centroids))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn(
+        "__cell",
+        F.explode(ivf_query_cells(F.col("__qv"), dim, n_centroids, n_probe)),
+    )
+    scored = c.join(F.broadcast(q), "__cell").select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _ranked_topk(scored, k, partial_topk)
