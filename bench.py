@@ -12,10 +12,12 @@ on local[$SPARK_GRAFT_CPUS]:
 
 Scaling evidence (north rule: >=0.8 throughput efficiency from N to 4N
 executors; no real cluster in this sandbox): the tier job re-runs in
-subprocesses at local[4] and local[16] on the identical input (min of
-SPARK_GRAFT_SCALE_REPS interleaved reps; this host shows >2x co-tenant
-wall-clock variance), wall clock measured after session startup + JIT
-warmup. Disable with SPARK_GRAFT_SCALING=0.
+subprocesses at the primary pair SPARK_GRAFT_SCALE_CORES (default 2,8)
+plus a secondary pair (default 4,16) on the identical input — min of
+interleaved reps, each run bracketed by single-thread CPU probes (the
+host-steal canary; this box shows >2x co-tenant wall-clock variance),
+with probe-gated extra rounds. Wall clock is measured after session
+startup + JIT warmup. Disable with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -159,7 +161,7 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
-def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
+def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra: int | None = None) -> dict:
     out: dict = {"n_docs": n_scale, "cores": [lo, hi], "reps": reps}
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     probes: dict[int, list[float]] = {lo: [], hi: []}
@@ -196,7 +198,11 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str) -> dict:
     # SPARK_GRAFT_SCALE_EXTRA additional interleaved rounds. The rule
     # keys on the steal canary only, never on the resulting efficiency,
     # and min-of-reps under one-sided noise only tightens the estimate.
-    extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "3"))
+    extra = (
+        max_extra
+        if max_extra is not None
+        else int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "3"))
+    )
     for i in range(extra):
         besti = {c: min(range(len(runs[c])), key=lambda j: runs[c][j]["seconds"])
                  for c in (lo, hi)}
@@ -246,7 +252,9 @@ def scaling_runs() -> dict:
         if sec and sec != "0":
             lo2, hi2 = (int(c) for c in sec.split(","))
             reps2 = int(os.environ.get("SPARK_GRAFT_SCALE_REPS2", "2"))
-            out["secondary"] = _scaling_pair(lo2, hi2, n_scale, reps2, tmp)
+            # the secondary pair informs the curve but doesn't carry the
+            # north-rule number — cap its steal retries to bound total time
+            out["secondary"] = _scaling_pair(lo2, hi2, n_scale, reps2, tmp, max_extra=1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
