@@ -147,18 +147,40 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     return times, extras
 
 
-def _cpu_probe() -> float:
-    """Single-thread fixed LCG burn (seconds) — a host-steal canary
-    recorded alongside every scaling rep. Identical work every call;
-    on a quiet host it measures ~0.19-0.25 s, so values far above that
-    flag co-tenant interference contaminating the adjacent run."""
+def _cpu_probe(n_threads: int = 1) -> float:
+    """Fixed LCG burn on ``n_threads`` concurrent numpy loops (seconds)
+    — the host-steal canary recorded alongside every scaling rep.
+
+    The MULTI-thread form matters: co-tenant interference on this VM
+    mostly steals CORES, not single-thread cycles — measured runs
+    inflated 2x while a 1-thread probe read quiet. numpy ufuncs release
+    the GIL, so n threads genuinely occupy n cores; on a quiet host the
+    wall stays near the single-thread time (~0.2 s at 2 threads, ~0.25
+    at 8, ~0.37 at 16), and core scarcity shows up directly."""
+    import threading
+
     import numpy as np
 
+    def burn():
+        x = np.arange(2_000_000, dtype=np.int64)
+        for _ in range(20):
+            x = (x * 48271 + 11) % 2147483647
+
     t0 = time.time()
-    x = np.arange(2_000_000, dtype=np.int64)
-    for _ in range(20):
-        x = (x * 48271 + 11) % 2147483647
+    if n_threads <= 1:
+        burn()
+    else:
+        ths = [threading.Thread(target=burn) for _ in range(n_threads)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
     return round(time.time() - t0, 3)
+
+
+def _probe_threshold(n_threads: int) -> float:
+    """Busy-host gate for the canary at a given width (quiet + margin)."""
+    return 0.28 + 0.015 * n_threads
 
 
 def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra: int | None = None) -> dict:
@@ -168,7 +190,7 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
 
     def one_round(rep: int) -> None:
         for cores in (lo, hi):
-            pre = _cpu_probe()
+            pre = _cpu_probe(cores)
             cat = os.path.join(tmp, f"cat{cores}_{rep}")
             man = os.path.join(tmp, f"man{cores}_{rep}")
             r = subprocess.run(
@@ -183,7 +205,7 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
             # bracket each run with the steal canary: a burst arriving
             # MID-run shows in the post-probe even when the pre-probe
             # was quiet
-            probes[cores].append((pre, _cpu_probe()))
+            probes[cores].append((pre, _cpu_probe(cores)))
             shutil.rmtree(cat, ignore_errors=True)
             shutil.rmtree(man, ignore_errors=True)
 
@@ -192,9 +214,9 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
     # runs from co-tenant load)
     for rep in range(reps):
         one_round(rep)
-    # measurement hygiene, not cherry-picking: if the probes BRACKETING
-    # some leg's best rep show the host was busy (>0.3 s vs ~0.2 s
-    # quiet), every rep of that leg was likely inflated — run up to
+    # measurement hygiene, not cherry-picking: if the width-matched
+    # canary probes BRACKETING some leg's best rep show the host was
+    # busy, every rep of that leg was likely inflated — run up to
     # SPARK_GRAFT_SCALE_EXTRA additional interleaved rounds. The rule
     # keys on the steal canary only, never on the resulting efficiency,
     # and min-of-reps under one-sided noise only tightens the estimate.
@@ -206,7 +228,9 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
     for i in range(extra):
         besti = {c: min(range(len(runs[c])), key=lambda j: runs[c][j]["seconds"])
                  for c in (lo, hi)}
-        if all(max(probes[c][besti[c]]) <= 0.30 for c in (lo, hi)):
+        if all(
+            max(probes[c][besti[c]]) <= _probe_threshold(c) for c in (lo, hi)
+        ):
             break
         one_round(reps + i)
     for cores in (lo, hi):
