@@ -31,7 +31,14 @@ no custom Catalyst rules — into one of four shapes:
 
 ``auto``
     group_equi when group keys exist, else bin (width estimated from a
-    sample of interval lengths when not given).
+    sample of interval lengths when not given). Measured guidance: when
+    groups are FEW and panels LONG, group_equi's per-group candidate
+    space is |x_g| x |y_g| (the post-join range filter pays for every
+    pair), while the bin join's is proportional to actual overlaps —
+    at sf0.1 (20 groups x ~7.5k intervals) bin is ~20-50% faster and
+    the gap widens with panel length. auto stays group_equi because it
+    needs no width estimate and no fan-out; pick bin explicitly for
+    long-panel workloads.
 
 All null handling is null-safe (``eqNullSafe``): NULL group values are
 legal join keys, matching data.table's NA-matching keyed joins
