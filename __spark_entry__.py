@@ -786,6 +786,46 @@ SQL_IWA_SORTED = SQL_IWA_CORE.replace(
 )
 
 
+def q_asof_events(spark, sf_dir):
+    """As-of join: for each regular query time per group, the latest
+    event value at or before it. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — a fully independent implementation of the
+    semantics (the Spark side is a union + carry-forward window,
+    not a join at all)."""
+    from timeperiods_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        F.col("event_id").alias("t"),
+        F.col("value").alias("v"),
+    )
+    q = obs.select("g").distinct().crossJoin(
+        spark.range(200).select((F.col("id") * 37).cast("long").alias("t"))
+    )
+    out = asof_join(q, obs, "t", ["v"], ["g"])
+    return out.select(
+        "g",
+        F.col("t").cast("long").alias("t"),
+        F.round("v", _R).alias("v"),
+        F.col("asof_t").cast("long").alias("asof_t"),
+    )
+
+
+SQL_ASOF_EVENTS = """
+WITH obs AS (
+  SELECT CAST(user_id % 7 AS INT) AS og, event_id AS ot, value AS v FROM events
+),
+q AS (
+  SELECT g, CAST(37*p AS BIGINT) AS t
+  FROM (SELECT DISTINCT CAST(user_id % 7 AS INT) AS g FROM events)
+  CROSS JOIN (SELECT range AS p FROM range(200))
+)
+SELECT q.g, q.t, ROUND(o.v, 6) AS v, o.ot AS asof_t
+FROM q ASOF LEFT JOIN obs o ON q.g = o.og AND q.t >= o.ot
+"""
+
+
 N_MEDIA = 200
 
 
@@ -873,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf_daily": q_gap_fill_locf,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "running_max_events": q_running_max,
+        "asof_events": q_asof_events,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -894,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_locf_daily": SQL_GAP_FILL,
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
         "running_max_events": SQL_RUNNING_MAX,
+        "asof_events": SQL_ASOF_EVENTS,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

@@ -1,0 +1,88 @@
+"""As-of join: closed-at-tie matching, tolerance staleness, ungrouped
+range-partitioned carry with boundary handoff, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeperiods_spark import asof_join
+from timeperiods_spark.errors import RoleValidationError
+
+
+@pytest.fixture(scope="module")
+def obsq(spark):
+    obs = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 50.0), ("a", 9, 90.0), ("b", 4, 40.0)],
+        "g string, t int, v double",
+    )
+    q = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 6), ("a", 20), ("b", 3), ("b", 4), ("c", 7)],
+        "g string, t int",
+    )
+    return obs, q
+
+
+def test_asof_grouped_semantics(spark, obsq):
+    obs, q = obsq
+    rows = {
+        (r["g"], r["t"]): (r["v"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v"], ["g"]).collect()
+    }
+    assert rows[("a", 0)] == (None, None)  # nothing at or before
+    assert rows[("a", 1)] == (10.0, 1)  # observation AT query time matches
+    assert rows[("a", 6)] == (50.0, 5)
+    assert rows[("a", 20)] == (90.0, 9)
+    assert rows[("b", 3)] == (None, None)
+    assert rows[("b", 4)] == (40.0, 4)
+    assert rows[("c", 7)] == (None, None)  # group absent from observations
+
+
+def test_asof_tolerance_masks_stale(spark, obsq):
+    obs, q = obsq
+    rows = {
+        (r["g"], r["t"]): (r["v"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v"], ["g"], tolerance=2).collect()
+    }
+    assert rows[("a", 6)] == (50.0, 5)  # within 2 units
+    assert rows[("a", 20)] == (None, None)  # 11 units stale -> masked
+
+
+def test_asof_ungrouped_boundary_handoff(spark):
+    """With no groups the carry crosses range-partition boundaries: two
+    observations, a thousand queries — every query left of 500 carries
+    the first value, every one at/after carries the second."""
+    from pyspark.sql import functions as F
+
+    obs = spark.createDataFrame([(0, 1.0), (500, 2.0)], "t int, v double")
+    q = spark.range(1000).select(F.col("id").cast("int").alias("t"))
+    out = asof_join(q, obs, "t", ["v"]).collect()
+    assert len(out) == 1000
+    vals = {r["t"]: r["v"] for r in out}
+    assert vals[0] == 1.0 and vals[499] == 1.0
+    assert vals[500] == 2.0 and vals[999] == 2.0
+
+
+def test_asof_plan_no_pair_join_grouped(spark, obsq):
+    """The grouped as-of is a union + window — no join operator may
+    appear (a theta join would be quadratic per group)."""
+    obs, q = obsq
+    p = (
+        asof_join(q, obs, "t", ["v"], ["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p, p[:1200]
+    assert "CartesianProduct" not in p
+
+
+def test_asof_validates_roles(spark, obsq):
+    obs, q = obsq
+    with pytest.raises(RoleValidationError):
+        asof_join(q, obs, "t", [], ["g"])
+    with pytest.raises(RoleValidationError):
+        asof_join(q, obs, "t", ["missing"], ["g"])
+    with pytest.raises(RoleValidationError):
+        asof_join(q.withColumnRenamed("g", "v").withColumn("g", q["g"])
+                  if False else q.selectExpr("g", "t", "t AS v"),
+                  obs, "t", ["v"], ["g"])

@@ -28,7 +28,13 @@ from .operators.dedup import (
     simhash_frame,
     simhash_pairs,
 )
-from .operators.similarity import cosine, cosine_topk, cosine_topk_lsh
+from .operators.asof import asof_join
+from .operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from .operators.rollup import (
     cascade,
     finalize_rollup,
@@ -78,7 +84,9 @@ __all__ = [
     "embedding_neardup_pairs",
     "cosine",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "asof_join",
     "get_spark",
     "RESERVED_OUTPUT_NAMES",
     "TimeperiodsError",
