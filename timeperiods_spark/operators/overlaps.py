@@ -43,6 +43,88 @@ def _normalize(
     return s_t
 
 
+def _lead_with_boundary_handoff(
+    melted: DataFrame, gcols: Sequence[str], n_buckets: Optional[int] = None
+) -> DataFrame:
+    """lead(__is_end), lead(__val) over (gcols…, __val, __is_end) order
+    WITHOUT a per-group window: bucket the value axis deterministically,
+    lead within (group, bucket), stitch bucket boundaries from each
+    bucket's first row.
+
+    Buckets are ``floor((val - lo) / W)`` with W derived from the
+    observed value range — purely a function of the ROW, unlike
+    spark_partition_id over a range exchange, whose sampled boundaries
+    can differ between the jobs that compute the handoff and the main
+    result. One value-range min/max action, then ONE shuffle keyed by
+    (group…, bucket); the handoff frame is one row per non-empty
+    (group, bucket) — window-chained over that tiny set and broadcast
+    back. Rows whose true lead is absent (each group's final event) are
+    filtered, matching the plain-window formulation."""
+    gcols = list(gcols)
+    bounds = melted.agg(
+        F.min("__val").alias("lo"), F.max("__val").alias("hi")
+    ).first()
+    if bounds is None or bounds["lo"] is None:
+        return melted.select(
+            *gcols,
+            "__val",
+            "__is_end",
+            F.lit(None).cast("boolean").alias("__next_end"),
+            F.lit(None).cast("long").alias("__next_val"),
+        ).filter(F.lit(False))
+    spark = melted.sparkSession
+    if n_buckets is None:
+        n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    parts = melted.withColumn(
+        "__bk", ((F.col("__val") - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+    w = Window.partitionBy(*gcols, "__bk").orderBy("__val", "__is_end")
+    local = parts.select(
+        *gcols,
+        "__val",
+        "__is_end",
+        "__bk",
+        F.lead("__is_end").over(w).alias("__next_end"),
+        F.lead("__val").over(w).alias("__next_val"),
+    )
+    # handoff: for each (group, bucket), the first row of the group's
+    # NEXT non-empty bucket — one min_by aggregate (map-side combined)
+    # then a lead over the tiny per-bucket frame
+    firsts = parts.groupBy(*gcols, "__bk").agg(
+        F.min_by(
+            F.struct("__val", "__is_end"), F.struct("__val", "__is_end")
+        ).alias("f")
+    )
+    wg = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy("__bk")
+    handoff = firsts.select(
+        *gcols,
+        "__bk",
+        F.lead("f.__val").over(wg).alias("__h_val"),
+        F.lead("f.__is_end").over(wg).alias("__h_end"),
+    )
+    # null-safe join condition (group keys may be NULL; the bucket key
+    # must match exactly)
+    hren = handoff
+    for g in gcols:
+        hren = hren.withColumnRenamed(g, f"__hg_{g}")
+    hren = hren.withColumnRenamed("__bk", "__hbk")
+    cond = local["__bk"] == hren["__hbk"]
+    for g in gcols:
+        cond = cond & local[g].eqNullSafe(hren[f"__hg_{g}"])
+    stitched = local.join(F.broadcast(hren), cond, "left").select(
+        *[local[g] for g in gcols],
+        local["__val"],
+        local["__is_end"],
+        F.coalesce(local["__next_end"], hren["__h_end"]).alias("__next_end"),
+        F.coalesce(local["__next_val"], hren["__h_val"]).alias("__next_val"),
+    )
+    return stitched.filter(F.col("__next_end").isNotNull())
+
+
 def remove_overlaps(
     x: DataFrame,
     interval_vars: Sequence[str],
@@ -105,6 +187,13 @@ def remove_overlaps(
         _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
         *[F.col(c).alias(f"__p{i}") for i, c in enumerate(payload)],
     )
+    # base feeds four subtrees (sweep bounds, per-bucket leads, bucket
+    # firsts, and the join-back): persist so the upstream input is
+    # computed once — at corpus scale it's (groups, 2 longs, payload)
+    # per interval, spilling to disk if needed
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # O21 — melt endpoints into a long event stream
     melted = base.select(*gcols, F.col("__xs").alias("__val"), F.lit(False).alias("__is_end")).unionByName(
@@ -114,18 +203,17 @@ def remove_overlaps(
     # O22 — order (value, is_end) within group; lead flag + value.
     # False sorts before True, so a start at value v precedes an end at v,
     # matching the reference's setorderv (timeperiod_functions.R:559).
-    w = (
-        Window.partitionBy(*gcols).orderBy("__val", "__is_end")
-        if gcols
-        else Window.partitionBy(F.lit(1)).orderBy("__val", "__is_end")
-    )
-    swept = melted.select(
-        *gcols,
-        "__val",
-        "__is_end",
-        F.lead("__is_end").over(w).alias("__next_end"),
-        F.lead("__val").over(w).alias("__next_val"),
-    ).filter(F.col("__next_end").isNotNull())
+    #
+    # Parallelism: a window partitioned by the group columns caps the
+    # sweep at ONE TASK PER GROUP (and one task total when ungrouped) —
+    # a dense 5-group panel would serialize the whole event stream.
+    # Instead the stream is RANGE-partitioned by (group…, value, flag),
+    # the lead() runs within each physical partition, and each
+    # partition's last row takes its lead from the next non-empty
+    # partition's first row (same group only) — one tiny driver-side
+    # chain over ≤P first-rows, exact because range partitioning makes
+    # each group's rows contiguous across the partition sequence.
+    swept = _lead_with_boundary_handoff(melted, gcols)
 
     # O23 — boundary reconstruction (timeperiod_functions.R:568-573):
     # piece start = value at a start-point, value+1 after an end-point;
