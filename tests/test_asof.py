@@ -62,9 +62,10 @@ def test_asof_ungrouped_boundary_handoff(spark):
     assert vals[500] == 2.0 and vals[999] == 2.0
 
 
-def test_asof_plan_no_pair_join_grouped(spark, obsq):
-    """The grouped as-of is a union + window — no join operator may
-    appear (a theta join would be quadratic per group)."""
+def test_asof_plan_no_pair_join(spark, obsq):
+    """As-of is a union + bucketed carry window — the only joins in the
+    plan attach the tiny per-bucket carry frames; no theta/pair join
+    (quadratic per group) and no nested loop may appear."""
     obs, q = obsq
     p = (
         asof_join(q, obs, "t", ["v"], ["g"])
@@ -72,8 +73,10 @@ def test_asof_plan_no_pair_join_grouped(spark, obsq):
         .executedPlan()
         .toString()
     )
-    assert "Join" not in p, p[:1200]
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    # the carry window is keyed by (group, bucket), never a constant
+    assert "hashpartitioning(1," not in p and "SinglePartition" not in p
 
 
 def test_asof_validates_roles(spark, obsq):
