@@ -152,20 +152,20 @@ def test_minhash_band_join_ships_no_arrays(spark):
 
 
 def test_ungrouped_validation_is_not_single_partition(spark):
-    """With group_vars=[] the integrity scan must range-partition and
-    window by physical partition — not funnel everything through one
-    Window.partitionBy(lit(1)) task."""
+    """With group_vars=[] the integrity scan must window by the
+    deterministic start-bucket — not funnel everything through one
+    Window.partitionBy(lit(1)) task. (The tiny per-bucket carry frame
+    may use a constant window; the FULL-DATA window may not, which is
+    what the __bk partitioning key pins.)"""
     from timeperiods_spark.operators.interval_avg import (
-        _ungrouped_integrity_frame,
+        _integrity_flags_frame,
     )
 
     xw = spark.createDataFrame(
         [(i * 10, i * 10 + 5) for i in range(100)], "__xs long, __xe long"
     )
-    p = _plan(_ungrouped_integrity_frame(xw))
-    assert "rangepartitioning" in p, p[:1200]
-    # the only constant-key exchange allowed is none at all
-    assert "hashpartitioning(1," not in p and "SinglePartition" not in p, p[:1200]
+    p = _plan(_integrity_flags_frame(xw, []))
+    assert "hashpartitioning(__bk" in p, p[:1500]
 
 
 def test_cosine_topk_preaggregates_before_rank_exchange(spark):

@@ -124,69 +124,85 @@ def _validate_roles(
     return xs_t
 
 
-def _ungrouped_integrity_frame(xw: DataFrame) -> DataFrame:
-    """Per-partition integrity statistics for the ungrouped case.
+def _integrity_flags_frame(xw: DataFrame, gcols: Sequence[str]) -> DataFrame:
+    """Per-row integrity flags (nul, rev, dup, ovl) with parallelism
+    independent of group cardinality.
 
-    ``Window.partitionBy(lit(1))`` would serialize the WHOLE table
-    through one task when there are no group keys — a hang at scale.
-    Instead: range-repartition by (start, end), run the window scan
-    within each physical partition, and emit one stats row per
-    partition. Cross-partition hazards reduce to per-partition
-    aggregates because the data is range-clustered:
-
-    - overlap across a boundary: partition p holds rows whose (s, e)
-      sort after every row of partitions < p, so ANY cross-boundary
-      overlap implies min_start(p) <= running max of earlier
-      partitions' max_end — checked on the ≤P stats rows.
-    - duplicates across a boundary: impossible — the range partitioner
-      assigns equal sort keys to the same partition.
-
-    Returns columns (pid, nulls, rev, dup, ovl, mn_s, mx_e).
+    A window partitioned by the group columns caps the scan at one task
+    per group (and one task TOTAL when ungrouped) — a hang at scale.
+    Instead the scan windows within (group…, start-bucket), where the
+    bucket is ``floor((start - lo) / W)`` — a deterministic function of
+    the row — and the overlap check's running max of previous ends gets
+    a per-bucket carry-in: the group's max end over all strictly
+    earlier buckets, chained over the tiny per-bucket frame and
+    broadcast back. Duplicates never straddle buckets (equal starts
+    share a bucket), so the lag-based dup check stays local; null and
+    reversed endpoints are row-local.
     """
     from pyspark.sql import Window
 
+    gcols = list(gcols)
     spark = xw.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parts = xw.repartitionByRange(n_parts, "__xs", "__xe").withColumn(
-        "__pid", F.spark_partition_id()
+    bounds = xw.agg(F.min("__xs").alias("lo"), F.max("__xs").alias("hi")).first()
+    if bounds is None or bounds["lo"] is None:
+        # empty, or every start NULL: flag rows directly (no windows)
+        return xw.select(
+            (F.col("__xs").isNull() | F.col("__xe").isNull()).alias("nul"),
+            (F.col("__xe") < F.col("__xs")).alias("rev"),
+            F.lit(False).alias("dup"),
+            F.lit(False).alias("ovl"),
+        )
+    n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    bucketed = xw.withColumn(
+        "__bk", ((F.col("__xs") - F.lit(lo)) / F.lit(width)).cast("long")
     )
-    w = Window.partitionBy("__pid").orderBy("__xs", "__xe")
-    prev_max_end = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    w = Window.partitionBy(*gcols, "__bk").orderBy("__xs", "__xe")
+    local_prev_max = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
     prev_s = F.lag("__xs").over(w)
     prev_e = F.lag("__xe").over(w)
-    flags = parts.select(
-        "__pid",
-        "__xs",
-        "__xe",
+
+    bucket_max = bucketed.groupBy(*gcols, "__bk").agg(
+        F.max("__xe").alias("__bmax")
+    )
+    wg = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry_in = bucket_max.select(
+        *[F.col(g).alias(f"__h_{g}") for g in gcols],
+        F.col("__bk").alias("__hbk"),
+        F.max("__bmax").over(wg).alias("__carry_max"),
+    )
+    cond = F.col("__bk") == F.col("__hbk")
+    for g in gcols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__h_{g}"))
+    stitched = bucketed.join(F.broadcast(carry_in), cond, "left")
+    # greatest() skips NULLs: first row of the first bucket has neither
+    # a local predecessor nor a carry-in → NULL → not an overlap
+    prev_max_end = F.greatest(local_prev_max, F.col("__carry_max"))
+    return stitched.select(
         (F.col("__xs").isNull() | F.col("__xe").isNull()).alias("nul"),
         (F.col("__xe") < F.col("__xs")).alias("rev"),
         (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
         (F.col("__xs") <= prev_max_end).alias("ovl"),
     )
-    return flags.groupBy("__pid").agg(
-        F.sum(F.when(F.col("nul"), 1).otherwise(0)).alias("nulls"),
-        F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
-        F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
-        F.min("__xs").alias("mn_s"),
-        F.max("__xe").alias("mx_e"),
-    )
 
 
-def _ungrouped_integrity_totals(xw: DataFrame) -> dict:
-    stats = sorted(
-        _ungrouped_integrity_frame(xw).collect(), key=lambda r: r["__pid"]
+def _integrity_totals(xw: DataFrame, gcols: Sequence[str]) -> dict:
+    row = (
+        _integrity_flags_frame(xw, gcols)
+        .agg(
+            F.sum(F.when(F.col("nul"), 1).otherwise(0)).alias("nulls"),
+            F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
+            F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
+        )
+        .first()
     )
-    totals = {
-        k: sum(r[k] or 0 for r in stats) for k in ("nulls", "rev", "dup", "ovl")
-    }
-    run_max = None  # boundary handoff: overlap against earlier partitions
-    for r in stats:
-        if run_max is not None and r["mn_s"] is not None and r["mn_s"] <= run_max:
-            totals["ovl"] += 1
-        if r["mx_e"] is not None:
-            run_max = r["mx_e"] if run_max is None else max(run_max, r["mx_e"])
-    return totals
+    if row is None:
+        return {"nulls": 0, "rev": 0, "dup": 0, "ovl": 0}
+    return {k: row[k] or 0 for k in ("nulls", "rev", "dup", "ovl")}
 
 
 def _check_x_integrity(
@@ -200,35 +216,11 @@ def _check_x_integrity(
     its start <= running max of previous ends (closed intervals, so a
     shared endpoint counts). Exact duplicates (hard error,
     timeperiod_functions.R:198-202) ride along in the same single job.
-    With no group keys the scan is range-partitioned with a boundary
-    handoff (see _ungrouped_integrity_frame) instead of a
-    single-partition window.
+    The scan windows within (group, start-bucket) with a per-bucket
+    carry-in (see _integrity_flags_frame), so its parallelism does not
+    collapse to one task per group — or one task total when ungrouped.
     """
-    from pyspark.sql import Window
-
-    if n_groups == 0:
-        row = _ungrouped_integrity_totals(xw)
-    else:
-        gcols = [f"__g{i}" for i in range(n_groups)]
-        w = Window.partitionBy(*gcols).orderBy("__xs", "__xe")
-        prev_max_end = F.max("__xe").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        )
-        prev_s = F.lag("__xs").over(w)
-        prev_e = F.lag("__xe").over(w)
-        flags = xw.select(
-            F.col("__xs").isNull().alias("null_s"),
-            F.col("__xe").isNull().alias("null_e"),
-            (F.col("__xe") < F.col("__xs")).alias("rev"),
-            (prev_s.eqNullSafe(F.col("__xs")) & prev_e.eqNullSafe(F.col("__xe"))).alias("dup"),
-            (F.col("__xs") <= prev_max_end).alias("ovl"),
-        )
-        row = flags.agg(
-            F.sum(F.when(F.col("null_s") | F.col("null_e"), 1).otherwise(0)).alias("nulls"),
-            F.sum(F.when(F.col("rev"), 1).otherwise(0)).alias("rev"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup"),
-            F.sum(F.when(F.col("ovl"), 1).otherwise(0)).alias("ovl"),
-        ).first()
+    row = _integrity_totals(xw, [f"__g{i}" for i in range(n_groups)])
     if row is None:
         return
     if (row["nulls"] or 0) > 0:

@@ -271,21 +271,12 @@ def check_no_overlaps(
         _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
         _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
     )
-    if not gcols:
-        # no group keys: a lit(1) window would serialize the table
-        # through one task — use the range-partitioned scan with
-        # boundary handoff instead (interval_avg._ungrouped_integrity)
-        from .interval_avg import _ungrouped_integrity_totals
+    # bucketed scan with per-bucket carry-in: parallelism independent of
+    # group cardinality (one task per group — or one total, ungrouped —
+    # would otherwise serialize the check; interval_avg._integrity_*)
+    from .interval_avg import _integrity_totals
 
-        n_bad = _ungrouped_integrity_totals(base)["ovl"]
-    else:
-        w = Window.partitionBy(*gcols).orderBy("__xs", "__xe")
-        prev_max_end = F.max("__xe").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        )
-        n_bad = base.select((F.col("__xs") <= prev_max_end).alias("bad")).filter(
-            "bad"
-        ).limit(1).count()
+    n_bad = _integrity_totals(base, gcols)["ovl"]
     if n_bad and raise_on_overlap:
         raise OverlapError("overlapping intervals within groups")
     return n_bad == 0
