@@ -183,29 +183,56 @@ def _probe_threshold(n_threads: int) -> float:
     return 0.28 + 0.015 * n_threads
 
 
+def _sampled_run(cmd: list[str], cores: int) -> tuple[dict, list[float]]:
+    """Run one tier-job subprocess while CONTINUOUSLY sampling the
+    width-matched steal canary in this process. Bracketing probes
+    proved insufficient — steal bursts shorter than a 30-60 s run slip
+    between a pre- and a post-probe — so the canary samples every few
+    seconds for the run's whole duration. On this 32-vcpu host the
+    sampler's N threads run beside a <=16-thread job, so on a QUIET
+    host it adds no contention; under co-tenant steal it reads high,
+    which is exactly the signal."""
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            samples.append(_cpu_probe(cores))
+            stop.wait(4.0)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    return json.loads(r.stdout.strip().splitlines()[-1]), samples
+
+
 def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra: int | None = None) -> dict:
     out: dict = {"n_docs": n_scale, "cores": [lo, hi], "reps": reps}
     runs: dict[int, list[dict]] = {lo: [], hi: []}
-    probes: dict[int, list[float]] = {lo: [], hi: []}
+    probes: dict[int, list[list[float]]] = {lo: [], hi: []}
+
+    def clean(cores: int, i: int) -> bool:
+        return max(probes[cores][i]) <= _probe_threshold(cores)
 
     def one_round(rep: int) -> None:
         for cores in (lo, hi):
-            pre = _cpu_probe(cores)
             cat = os.path.join(tmp, f"cat{cores}_{rep}")
             man = os.path.join(tmp, f"man{cores}_{rep}")
-            r = subprocess.run(
+            m, samples = _sampled_run(
                 [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
                  "--n-docs", str(n_scale), "--batches", "1",
                  "--catalog", cat, "--manifest", man,
                  "--master", f"local[{cores}]"],
-                capture_output=True, text=True, timeout=1800,
+                cores,
             )
-            line = r.stdout.strip().splitlines()[-1]
-            runs[cores].append(json.loads(line))
-            # bracket each run with the steal canary: a burst arriving
-            # MID-run shows in the post-probe even when the pre-probe
-            # was quiet
-            probes[cores].append((pre, _cpu_probe(cores)))
+            runs[cores].append(m)
+            probes[cores].append([round(s, 3) for s in samples])
             shutil.rmtree(cat, ignore_errors=True)
             shutil.rmtree(man, ignore_errors=True)
 
@@ -214,33 +241,37 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
     # runs from co-tenant load)
     for rep in range(reps):
         one_round(rep)
-    # measurement hygiene, not cherry-picking: if the width-matched
-    # canary probes BRACKETING some leg's best rep show the host was
-    # busy, every rep of that leg was likely inflated — run up to
-    # SPARK_GRAFT_SCALE_EXTRA additional interleaved rounds. The rule
-    # keys on the steal canary only, never on the resulting efficiency,
-    # and min-of-reps under one-sided noise only tightens the estimate.
+    # measurement hygiene, not cherry-picking: extend with additional
+    # interleaved rounds until EACH leg has at least one rep whose
+    # entire canary trace read quiet. The rule keys on the steal canary
+    # only, never on the resulting efficiency.
     extra = (
         max_extra
         if max_extra is not None
         else int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "3"))
     )
     for i in range(extra):
-        besti = {c: min(range(len(runs[c])), key=lambda j: runs[c][j]["seconds"])
-                 for c in (lo, hi)}
         if all(
-            max(probes[c][besti[c]]) <= _probe_threshold(c) for c in (lo, hi)
+            any(clean(c, j) for j in range(len(runs[c]))) for c in (lo, hi)
         ):
             break
         one_round(reps + i)
     for cores in (lo, hi):
-        best = min(runs[cores], key=lambda m: m["seconds"])
+        # prefer the best CLEAN-sampled rep (steal only ever inflates);
+        # fall back to the overall min when no rep sampled quiet
+        idxs = list(range(len(runs[cores])))
+        clean_idxs = [j for j in idxs if clean(cores, j)]
+        best_j = min(clean_idxs or idxs, key=lambda j: runs[cores][j]["seconds"])
+        best = runs[cores][best_j]
         out[f"local{cores}"] = {
             "seconds": best["seconds"],
             "docs_per_sec": best["docs_per_sec"],
             "points_per_sec": best["points_per_sec"],
+            "clean_sampled": bool(clean_idxs),
             "all_seconds": [m["seconds"] for m in runs[cores]],
-            "cpu_probe_seconds": probes[cores],
+            "canary_max_per_rep": [
+                round(max(p), 3) if p else None for p in probes[cores]
+            ],
         }
     thr_lo = out[f"local{lo}"]["docs_per_sec"]
     thr_hi = out[f"local{hi}"]["docs_per_sec"]
