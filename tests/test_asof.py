@@ -89,3 +89,47 @@ def test_asof_validates_roles(spark, obsq):
         asof_join(q.withColumnRenamed("g", "v").withColumn("g", q["g"])
                   if False else q.selectExpr("g", "t", "t AS v"),
                   obs, "t", ["v"], ["g"])
+
+
+def test_asof_null_observation_values_are_row_atomic(spark):
+    """An observation with a NULL value must match AS ITSELF: the query
+    gets (NULL value, that observation's time) — not an older
+    observation's value stitched to the newer time (DuckDB ASOF /
+    merge_asof row-atomicity; r2 advice finding)."""
+    obs = spark.createDataFrame(
+        [("a", 1, 10.0, 100.0), ("a", 5, None, 500.0), ("a", 9, 90.0, None)],
+        "g string, t int, v double, u double",
+    )
+    q = spark.createDataFrame(
+        [("a", 4), ("a", 6), ("a", 8), ("a", 12)], "g string, t int"
+    )
+    rows = {
+        r["t"]: (r["v"], r["u"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v", "u"], ["g"]).collect()
+    }
+    assert rows[4] == (10.0, 100.0, 1)
+    # t=6/8 match the t=5 obs: v must be NULL (not 10.0 carried from t=1)
+    assert rows[6] == (None, 500.0, 5)
+    assert rows[8] == (None, 500.0, 5)
+    # t=12 matches t=9: u must be NULL (not 500.0 from t=5)
+    assert rows[12] == (90.0, None, 9)
+
+
+def test_asof_null_values_atomic_across_bucket_boundary(spark):
+    """Same atomicity when the match crosses a carry-bucket boundary:
+    the carried struct must be the latest observation even though its
+    value field is NULL."""
+    from pyspark.sql import functions as F
+
+    obs = spark.createDataFrame(
+        [(0, 1.0), (400, None), (900, 3.0)], "t int, v double"
+    )
+    q = spark.range(1000).select(F.col("id").cast("int").alias("t"))
+    vals = {
+        r["t"]: (r["v"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v"], n_buckets=16).collect()
+    }
+    assert vals[399] == (1.0, 0)
+    assert vals[400] == (None, 400)
+    assert vals[899] == (None, 400)
+    assert vals[950] == (3.0, 900)

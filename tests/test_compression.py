@@ -95,6 +95,49 @@ def test_spark_compress_decompress_roundtrip(spark):
     comp.unpersist()
 
 
+def test_multi_block_group_roundtrip(spark):
+    """A group longer than block_size splits into bounded blocks (one
+    per floor(period/B) bucket) and still round-trips bit-exact —
+    VERDICT r2 item 1: no unbounded per-group pandas frame."""
+    import pandas as pd
+
+    rng = np.random.default_rng(303)
+    n = 1000
+    periods = np.sort(rng.choice(np.arange(0, 3000), size=n, replace=False)).astype(np.int64)
+    vals = rng.normal(size=n) * 1e4
+    vals[rng.random(n) < 0.08] = np.nan
+    pdf = pd.DataFrame({"g": "s0", "period": periods, "value": vals})
+    df = spark.createDataFrame(pdf)
+
+    comp = compress_series(df, ["g"], block_size=64).cache()
+    blocks = comp.orderBy("block").collect()
+    # bounded: every block holds at most block_size integer periods
+    assert all(r["n_points"] <= 64 for r in blocks)
+    assert all(r["block"] == r["first_period"] // 64 for r in blocks)
+    assert len(blocks) == len(np.unique(periods // 64))
+    assert sum(r["n_points"] for r in blocks) == n
+
+    back = decompress_series(comp, ["g"]).orderBy("period").collect()
+    assert [r["period"] for r in back] == periods.tolist()
+    for r, expect in zip(back, vals):
+        if np.isnan(expect):
+            assert r["value"] is None or np.isnan(r["value"])
+        else:
+            assert r["value"] == expect
+    comp.unpersist()
+
+
+def test_block_size_none_is_single_block(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 10, "period": range(0, 10000, 1000), "value": [1.5] * 10}
+    )
+    comp = compress_series(spark.createDataFrame(pdf), ["g"], block_size=None)
+    rows = comp.collect()
+    assert len(rows) == 1 and rows[0]["n_points"] == 10 and rows[0]["block"] == 0
+
+
 def test_token_array_equality_through_compression_pipeline(spark):
     """F13 invariant: the token arrays themselves are untouched by the
     rollup+compression pipeline (it only reads n_tok)."""

@@ -208,3 +208,31 @@ def test_iwa_projection_prunes_value_columns(spark, xy):
     ).select("g", "s", "e", "xduration")
     p = _plan(out)
     assert "CartesianProduct" not in p
+
+
+def test_gap_fill_locf_not_single_partition(spark):
+    """The LOCF window must partition by (group…, __bk) — never collapse
+    to one task per group (or one total, ungrouped). VERDICT r2 item 4."""
+    from timeperiods_spark.operators.rollup import gap_fill_locf
+
+    t = token_table(spark, 300)
+    daily = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=24,
+        required_percentage=0.0,
+    )
+    out = gap_fill_locf(daily, ["n_tok"], ["source"], width=24)
+    p = _plan(out)
+    # the full-data LOCF window must carry the bucket key
+    assert "__bk" in p, p[:1500]
+
+
+def test_sweep_rollup_not_single_partition(spark):
+    """width-1 sweep's prefix-sum window must partition by
+    (group…, __bk), not the groups alone. VERDICT r2 item 4."""
+    t = token_table(spark, 300)
+    out = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=1,
+        algorithm="sweep", required_percentage=0.0,
+    )
+    p = _plan(out)
+    assert "__bk" in p, p[:1500]

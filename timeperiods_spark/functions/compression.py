@@ -312,10 +312,19 @@ def compress_series(
     group_vars: Sequence[str],
     period_col: str = "period",
     value_col: str = "value",
+    block_size: Optional[int] = 4096,
 ):
-    """One Gorilla block per group: (group_vars…, n_points,
-    first_period, last_period, raw_bytes, blob). Uses applyInPandas —
-    one Arrow batch per group, numpy inside."""
+    """Gorilla blocks bounded to ``block_size`` period units each:
+    (group_vars…, block, n_points, first_period, last_period,
+    raw_bytes, blob). Block key is ``floor(period / block_size)`` — a
+    pure function of the row, so blocks are deterministic, decode is
+    embarrassingly parallel per block, and a group of any length never
+    has to fit in one executor's pandas frame (the Gorilla paper's
+    2-hour block discipline, Pelkonen VLDB'15 §4.1). Points per block
+    is bounded by block_size because periods are integer grid units.
+    ``block_size=None`` keeps the legacy one-block-per-group layout
+    (only safe for small bounded series). Uses applyInPandas — one
+    Arrow batch per (group, block), numpy inside."""
     import pyspark.sql.functions as F
     import pyspark.sql.types as T
 
@@ -324,6 +333,7 @@ def compress_series(
     schema = T.StructType(
         gfields
         + [
+            T.StructField("block", T.LongType()),
             T.StructField("n_points", T.IntegerType()),
             T.StructField("first_period", T.LongType()),
             T.StructField("last_period", T.LongType()),
@@ -338,6 +348,7 @@ def compress_series(
         v = pdf[value_col].to_numpy(dtype=np.float64)
         blob = gorilla_encode(p, v)
         out = {g: [pdf[g].iloc[0]] for g in gv}
+        out["block"] = [int(pdf["__block"].iloc[0])]
         out["n_points"] = [len(p)]
         out["first_period"] = [int(p[0]) if len(p) else 0]
         out["last_period"] = [int(p[-1]) if len(p) else 0]
@@ -345,8 +356,15 @@ def compress_series(
         out["blob"] = [blob]
         return pd.DataFrame(out)
 
-    return df.select(*gv, period_col, value_col).groupBy(*gv).applyInPandas(
-        encode, schema
+    if block_size is None:
+        block_expr = F.lit(0).cast("long")
+    else:
+        # floor division that is correct for negative periods too
+        block_expr = F.floor(F.col(period_col).cast("long") / F.lit(int(block_size)))
+    keyed = df.select(*gv, period_col, value_col).withColumn("__block", block_expr)
+    return (
+        keyed.groupBy(*gv, "__block")
+        .applyInPandas(encode, schema)
     )
 
 

@@ -6,24 +6,27 @@ join), but the canonical timeseries join every retention-tier user
 asks for next — e.g. "the tier value in force at time t".
 
 Spark-first shape: NOT a join at all. Observations and query times are
-UNIONED into one stream with a marker and the observation columns are
-carried forward with ``last(..., ignorenulls=True)`` — linear work, no
-pair fan-out (a naive theta join on ``obs.ts <= q.ts`` is quadratic per
-group and then needs a max reduction). The carry window runs within
-(group…, time-bucket), where the bucket is a DETERMINISTIC function of
-the row (``floor((t - lo) / W)``); each bucket's carry-in is the
-group's latest observation from all earlier buckets, chained over the
-tiny per-bucket frame and broadcast back. This keeps parallelism
-independent of group cardinality (one huge group — or no groups —
-would otherwise serialize through a single window task) and avoids
-``spark_partition_id`` over a range exchange, whose sampled boundaries
-can differ between the jobs that compute a handoff and the main result.
+UNIONED into one stream with a marker, and each observation row is
+packed into ONE struct ``(time, values…)`` that is carried forward
+with a single ``last(…, ignorenulls=True)`` — so every carried field
+(matched time AND all value columns, NULLs included) comes from the
+SAME observation row, matching DuckDB ASOF / pandas merge_asof
+row-atomicity even when observation values are NULL. Linear work, no
+pair fan-out (a naive theta join on ``obs.ts <= q.ts`` is quadratic
+per group and then needs a max reduction).
+
+The carry window runs within (group…, time-bucket) via the shared
+plans/carry.py machinery: the bucket is a deterministic function of
+the row, each bucket's carry-in is the group's latest observation
+struct from all earlier buckets (``max`` over structs is ordered by
+the leading time field), and the guard falls back to plain per-group
+windows when groups are many.
 
 Ties: an observation AT the query time matches (closed semantics,
 consistent with the engine's closed intervals). Duplicate observation
-times within a group resolve arbitrarily among the duplicates — pass
-pre-deduplicated observations for determinism, as the driver query
-does.
+times within a group resolve deterministically by struct comparison
+(NULL value fields sort low) — pass pre-deduplicated observations for
+full control, as the driver query does.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..errors import RoleValidationError
+from ..plans.carry import attach_carry, plan_buckets
 
 
 def asof_join(
@@ -44,6 +48,7 @@ def asof_join(
     *,
     tolerance: Optional[int] = None,
     n_buckets: Optional[int] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """For each query row, attach the latest observation value(s) with
     ``obs.on <= query.on`` (and ``query.on - obs.on <= tolerance`` when
@@ -51,6 +56,11 @@ def asof_join(
 
     Output: all query columns + ``value_vars…`` + ``asof_<on>`` (the
     matched observation time, NULL when unmatched).
+
+    ``cache=True`` persists the unioned stream (it feeds the bucket
+    bounds action plus two plan subtrees); long-lived sessions issuing
+    many as-of joins should pass ``cache=False`` to avoid accumulating
+    cached blocks, at the cost of recomputing the union per subtree.
     """
     group_vars = list(group_vars or [])
     value_vars = list(value_vars)
@@ -70,13 +80,16 @@ def asof_join(
         )
 
     q_payload = [c for c in queries.columns if c not in group_vars and c != on]
-    carry_cols = ["__ot"] + [f"__v_{v}" for v in value_vars]
+    vfields = [f"__v_{v}" for v in value_vars]
     obs = observations.select(
         *group_vars,
         F.col(on).cast("long").alias("__t"),
         F.lit(0).alias("__m"),  # observations sort BEFORE queries at a tie
-        F.col(on).cast("long").alias("__ot"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_vars],
+        # one struct per observation row — carried atomically
+        F.struct(
+            F.col(on).cast("long").alias("__ot"),
+            *[F.col(v).alias(f"__v_{v}") for v in value_vars],
+        ).alias("__obs"),
         *[
             F.lit(None).cast(queries.schema[c].dataType).alias(f"__q_{c}")
             for c in q_payload
@@ -86,113 +99,59 @@ def asof_join(
         *group_vars,
         F.col(on).cast("long").alias("__t"),
         F.lit(1).alias("__m"),
-        F.lit(None).cast("long").alias("__ot"),
-        *[
-            F.lit(None).cast(observations.schema[v].dataType).alias(f"__v_{v}")
-            for v in value_vars
-        ],
+        F.lit(None).cast(obs.schema["__obs"].dataType).alias("__obs"),
         *[F.col(c).alias(f"__q_{c}") for c in q_payload],
     )
-    from pyspark import StorageLevel
+    stream = obs.unionByName(qs)
+    if cache:
+        from pyspark import StorageLevel
 
-    # the stream feeds three subtrees (bounds, per-bucket carry, bucket
-    # last-observations): persist so sources are scanned once
-    stream = obs.unionByName(qs).persist(StorageLevel.MEMORY_AND_DISK)
+        # the stream feeds the bucket-bounds action plus two plan
+        # subtrees (per-bucket carry, bucket last-observations)
+        stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
 
-    bounds = stream.agg(F.min("__t").alias("lo")).first()
-    if bounds is None or bounds["lo"] is None:
-        # no rows at all → empty result with the right schema
+    plan = plan_buckets(stream, group_vars, "__t", n_buckets=n_buckets)
+    if plan.empty:
         return stream.filter(F.lit(False)).select(
             *group_vars,
             F.col("__t").alias(on),
             *[F.col(f"__q_{c}").alias(c) for c in q_payload],
-            *[F.col(f"__v_{v}").alias(v) for v in value_vars],
-            F.col("__ot").alias(f"asof_{on}"),
+            *[F.col("__obs").getField(f"__v_{v}").alias(v) for v in value_vars],
+            F.col("__obs").getField("__ot").alias(f"asof_{on}"),
         )
-    spark = stream.sparkSession
-    if n_buckets is None:
-        n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
-    lo = int(bounds["lo"])
-    hi = int(stream.agg(F.max("__t")).first()[0])
-    width = max(1, (hi - lo) // n_buckets + 1)
-    bucketed = stream.withColumn(
-        "__bk", ((F.col("__t") - F.lit(lo)) / F.lit(width)).cast("long")
-    )
 
-    # local carry within (group…, bucket)
-    w = Window.partitionBy(*group_vars, "__bk").orderBy("__t", "__m").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    local = bucketed.select(
-        *group_vars,
-        "__t",
-        "__m",
-        "__bk",
-        *[F.col(f"__q_{c}") for c in q_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
-    )
-
-    # carry-in per (group…, bucket): the group's latest observation from
-    # all STRICTLY EARLIER buckets — max_by over each bucket's obs rows
-    # (map-side combined, one row per non-empty (group, bucket)), then a
-    # running last-non-null over the tiny per-bucket frame
-    bucket_last = bucketed.filter(F.col("__m") == 0).groupBy(
-        *group_vars, "__bk"
-    ).agg(
-        F.max_by(F.struct(*carry_cols), F.struct("__t", "__m")).alias("lastobs")
-    )
-    all_buckets = bucketed.select(*group_vars, "__bk").dropDuplicates()
-    jb = bucket_last
-    for g in group_vars:
-        jb = jb.withColumnRenamed(g, f"__j_{g}")
-    jb = jb.withColumnRenamed("__bk", "__jbk")
-    cond = F.col("__bk") == F.col("__jbk")
-    for g in group_vars:
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__j_{g}"))
-    per_bucket = all_buckets.join(jb, cond, "left").select(
-        *group_vars, "__bk", "lastobs"
-    )
-    wg = (
-        Window.partitionBy(*group_vars)
-        if group_vars
-        else Window.partitionBy(F.lit(1))
-    ).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    carry_in = per_bucket.select(
-        *[F.col(g).alias(f"__h_{g}") for g in group_vars],
-        F.col("__bk").alias("__hbk"),
-        F.last("lastobs", ignorenulls=True).over(wg).alias("__carry"),
-    )
-
-    cond2 = F.col("__bk") == F.col("__hbk")
-    for g in group_vars:
-        cond2 = cond2 & F.col(g).eqNullSafe(F.col(f"__h_{g}"))
-    stitched = local.join(F.broadcast(carry_in), cond2, "left").select(
-        *group_vars,
-        "__t",
-        "__m",
-        *[F.col(f"__q_{c}") for c in q_payload],
-        *[
-            F.coalesce(F.col(c), F.col("__carry").getField(c)).alias(c)
-            for c in carry_cols
+    # carry-in per (group…, bucket): the group's latest observation
+    # struct from all STRICTLY EARLIER buckets. max over structs orders
+    # by the leading __ot field, skips the NULL structs on query rows,
+    # and every non-empty bucket keeps a frame row (so buckets holding
+    # only queries still receive the chain).
+    stitched = attach_carry(
+        plan,
+        [F.max("__obs").alias("__bobs")],
+        lambda wg: [
+            F.max("__bobs")
+            .over(wg.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__carry")
         ],
     )
-
-    out = stitched.filter(F.col("__m") == 1)
+    w = (
+        Window.partitionBy(*group_vars, "__bk")
+        .orderBy("__t", "__m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.coalesce(F.last("__obs", ignorenulls=True).over(w), F.col("__carry"))
+    out = stitched.withColumn("__match", matched).filter(F.col("__m") == 1)
     if tolerance is not None:
-        stale = F.col("__t") - F.col("__ot") > F.lit(int(tolerance))
-        out = out.select(
-            *group_vars,
-            "__t",
-            *[F.col(f"__q_{c}") for c in q_payload],
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-                for c in carry_cols
-            ],
+        stale = (
+            F.col("__t") - F.col("__match").getField("__ot") > F.lit(int(tolerance))
+        )
+        out = out.withColumn(
+            "__match", F.when(~stale, F.col("__match"))  # NULL when stale
         )
     return out.select(
         *group_vars,
         F.col("__t").alias(on),
         *[F.col(f"__q_{c}").alias(c) for c in q_payload],
-        *[F.col(f"__v_{v}").alias(v) for v in value_vars],
-        F.col("__ot").alias(f"asof_{on}"),
+        *[F.col("__match").getField(f"__v_{v}").alias(v) for v in value_vars],
+        F.col("__match").getField("__ot").alias(f"asof_{on}"),
     )

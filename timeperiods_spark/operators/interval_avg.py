@@ -130,21 +130,21 @@ def _integrity_flags_frame(xw: DataFrame, gcols: Sequence[str]) -> DataFrame:
 
     A window partitioned by the group columns caps the scan at one task
     per group (and one task TOTAL when ungrouped) — a hang at scale.
-    Instead the scan windows within (group…, start-bucket), where the
-    bucket is ``floor((start - lo) / W)`` — a deterministic function of
-    the row — and the overlap check's running max of previous ends gets
-    a per-bucket carry-in: the group's max end over all strictly
-    earlier buckets, chained over the tiny per-bucket frame and
-    broadcast back. Duplicates never straddle buckets (equal starts
-    share a bucket), so the lag-based dup check stays local; null and
-    reversed endpoints are row-local.
+    Instead the scan windows within (group…, start-bucket) with a
+    per-bucket carry-in of the group's max end over strictly earlier
+    buckets — the shared machinery in plans/carry.py, which also guards
+    the carry broadcast by group cardinality (many groups → plain
+    per-group windows, already parallel). Duplicates never straddle
+    buckets (equal starts share a bucket), so the lag-based dup check
+    stays local; null and reversed endpoints are row-local.
     """
     from pyspark.sql import Window
 
+    from ..plans.carry import attach_carry, plan_buckets
+
     gcols = list(gcols)
-    spark = xw.sparkSession
-    bounds = xw.agg(F.min("__xs").alias("lo"), F.max("__xs").alias("hi")).first()
-    if bounds is None or bounds["lo"] is None:
+    plan = plan_buckets(xw, gcols, "__xs")
+    if plan.empty:
         # empty, or every start NULL: flag rows directly (no windows)
         return xw.select(
             (F.col("__xs").isNull() | F.col("__xe").isNull()).alias("nul"),
@@ -152,32 +152,19 @@ def _integrity_flags_frame(xw: DataFrame, gcols: Sequence[str]) -> DataFrame:
             F.lit(False).alias("dup"),
             F.lit(False).alias("ovl"),
         )
-    n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo) // n_buckets + 1)
-    bucketed = xw.withColumn(
-        "__bk", ((F.col("__xs") - F.lit(lo)) / F.lit(width)).cast("long")
-    )
     w = Window.partitionBy(*gcols, "__bk").orderBy("__xs", "__xe")
     local_prev_max = F.max("__xe").over(w.rowsBetween(Window.unboundedPreceding, -1))
     prev_s = F.lag("__xs").over(w)
     prev_e = F.lag("__xe").over(w)
-
-    bucket_max = bucketed.groupBy(*gcols, "__bk").agg(
-        F.max("__xe").alias("__bmax")
+    stitched = attach_carry(
+        plan,
+        [F.max("__xe").alias("__bmax")],
+        lambda wg: [
+            F.max("__bmax")
+            .over(wg.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__carry_max")
+        ],
     )
-    wg = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
-    ).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    carry_in = bucket_max.select(
-        *[F.col(g).alias(f"__h_{g}") for g in gcols],
-        F.col("__bk").alias("__hbk"),
-        F.max("__bmax").over(wg).alias("__carry_max"),
-    )
-    cond = F.col("__bk") == F.col("__hbk")
-    for g in gcols:
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__h_{g}"))
-    stitched = bucketed.join(F.broadcast(carry_in), cond, "left")
     # greatest() skips NULLs: first row of the first bucket has neither
     # a local predecessor nor a carry-in → NULL → not an overlap
     prev_max_end = F.greatest(local_prev_max, F.col("__carry_max"))

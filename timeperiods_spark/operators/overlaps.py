@@ -55,16 +55,17 @@ def _lead_with_boundary_handoff(
     observed value range — purely a function of the ROW, unlike
     spark_partition_id over a range exchange, whose sampled boundaries
     can differ between the jobs that compute the handoff and the main
-    result. One value-range min/max action, then ONE shuffle keyed by
-    (group…, bucket); the handoff frame is one row per non-empty
-    (group, bucket) — window-chained over that tiny set and broadcast
-    back. Rows whose true lead is absent (each group's final event) are
-    filtered, matching the plain-window formulation."""
+    result. The shared plans/carry.py machinery owns the bucketing,
+    the tiny per-(group, bucket) handoff frame, and the broadcast
+    stitch — and guards by group cardinality (many groups → per-group
+    windows, no handoff frame at all). Rows whose true lead is absent
+    (each group's final event) are filtered, matching the plain-window
+    formulation."""
+    from ..plans.carry import attach_carry, plan_buckets
+
     gcols = list(gcols)
-    bounds = melted.agg(
-        F.min("__val").alias("lo"), F.max("__val").alias("hi")
-    ).first()
-    if bounds is None or bounds["lo"] is None:
+    plan = plan_buckets(melted, gcols, "__val", n_buckets=n_buckets)
+    if plan.empty:
         return melted.select(
             *gcols,
             "__val",
@@ -72,57 +73,26 @@ def _lead_with_boundary_handoff(
             F.lit(None).cast("boolean").alias("__next_end"),
             F.lit(None).cast("long").alias("__next_val"),
         ).filter(F.lit(False))
-    spark = melted.sparkSession
-    if n_buckets is None:
-        n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo) // n_buckets + 1)
-    parts = melted.withColumn(
-        "__bk", ((F.col("__val") - F.lit(lo)) / F.lit(width)).cast("long")
+    # forward handoff: each bucket's lead comes from the group's NEXT
+    # non-empty bucket's first row — min over a (val, is_end) struct per
+    # bucket, then lead() over the tiny per-bucket frame
+    stitched = attach_carry(
+        plan,
+        [F.min(F.struct("__val", "__is_end")).alias("__f")],
+        lambda wg: [
+            F.lead("__f.__val").over(wg).alias("__h_val"),
+            F.lead("__f.__is_end").over(wg).alias("__h_end"),
+        ],
     )
     w = Window.partitionBy(*gcols, "__bk").orderBy("__val", "__is_end")
-    local = parts.select(
+    out = stitched.select(
         *gcols,
         "__val",
         "__is_end",
-        "__bk",
-        F.lead("__is_end").over(w).alias("__next_end"),
-        F.lead("__val").over(w).alias("__next_val"),
+        F.coalesce(F.lead("__is_end").over(w), F.col("__h_end")).alias("__next_end"),
+        F.coalesce(F.lead("__val").over(w), F.col("__h_val")).alias("__next_val"),
     )
-    # handoff: for each (group, bucket), the first row of the group's
-    # NEXT non-empty bucket — one min_by aggregate (map-side combined)
-    # then a lead over the tiny per-bucket frame
-    firsts = parts.groupBy(*gcols, "__bk").agg(
-        F.min_by(
-            F.struct("__val", "__is_end"), F.struct("__val", "__is_end")
-        ).alias("f")
-    )
-    wg = (
-        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
-    ).orderBy("__bk")
-    handoff = firsts.select(
-        *gcols,
-        "__bk",
-        F.lead("f.__val").over(wg).alias("__h_val"),
-        F.lead("f.__is_end").over(wg).alias("__h_end"),
-    )
-    # null-safe join condition (group keys may be NULL; the bucket key
-    # must match exactly)
-    hren = handoff
-    for g in gcols:
-        hren = hren.withColumnRenamed(g, f"__hg_{g}")
-    hren = hren.withColumnRenamed("__bk", "__hbk")
-    cond = local["__bk"] == hren["__hbk"]
-    for g in gcols:
-        cond = cond & local[g].eqNullSafe(hren[f"__hg_{g}"])
-    stitched = local.join(F.broadcast(hren), cond, "left").select(
-        *[local[g] for g in gcols],
-        local["__val"],
-        local["__is_end"],
-        F.coalesce(local["__next_end"], hren["__h_end"]).alias("__next_end"),
-        F.coalesce(local["__next_val"], hren["__h_val"]).alias("__next_val"),
-    )
-    return stitched.filter(F.col("__next_end").isNotNull())
+    return out.filter(F.col("__next_end").isNotNull())
 
 
 def remove_overlaps(
@@ -207,12 +177,9 @@ def remove_overlaps(
     # Parallelism: a window partitioned by the group columns caps the
     # sweep at ONE TASK PER GROUP (and one task total when ungrouped) —
     # a dense 5-group panel would serialize the whole event stream.
-    # Instead the stream is RANGE-partitioned by (group…, value, flag),
-    # the lead() runs within each physical partition, and each
-    # partition's last row takes its lead from the next non-empty
-    # partition's first row (same group only) — one tiny driver-side
-    # chain over ≤P first-rows, exact because range partitioning makes
-    # each group's rows contiguous across the partition sequence.
+    # Instead the lead() runs within (group…, value-bucket) and bucket
+    # boundaries are stitched from a tiny per-bucket handoff frame
+    # (_lead_with_boundary_handoff, built on plans/carry.py).
     swept = _lead_with_boundary_handoff(melted, gcols)
 
     # O23 — boundary reconstruction (timeperiod_functions.R:568-573):
@@ -291,8 +258,53 @@ def running_max(
 ) -> DataFrame:
     """Running (cumulative) max — generalizes the reference's
     ``cummax.Date`` (timeperiod_functions.R:52) to any orderable column,
-    grouped. Works on dates natively (no int round-trip needed)."""
-    w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(*order_by).rowsBetween(
+    grouped. Works on dates natively (no int round-trip needed).
+
+    When the leading order column is numeric/date, the scan runs within
+    (group…, order-bucket) with a per-bucket max carried in from
+    earlier buckets (plans/carry.py) — so one huge group, or the
+    ungrouped case, no longer serializes into a single window task.
+    Equal leading-order values always share a bucket (the bucket is a
+    pure function of that value), so the carry is exact.
+    """
+    group_by = list(group_by or [])
+    order_by = list(order_by)
+    out_name = out_col or f"{col}_cummax"
+    lead_t = order_by[0] if isinstance(order_by[0], str) else None
+    lead_type = (
+        df.schema[lead_t].dataType.simpleString() if lead_t is not None else ""
+    )
+    bucketable = lead_type in (
+        "tinyint", "smallint", "int", "bigint", "date",
+    )
+    if not bucketable:
+        w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_name, F.max(col).over(w))
+
+    from ..plans.carry import attach_carry, plan_buckets
+
+    grid_t = "__rm_t"
+    base = df.withColumn(grid_t, F.col(lead_t).cast("long"))
+    plan = plan_buckets(base, group_by, grid_t)
+    if plan.empty:
+        return df.withColumn(out_name, F.max(col).over(
+            Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    stitched = attach_carry(
+        plan,
+        [F.max(col).alias("__bmax")],
+        lambda wg: [
+            F.max("__bmax")
+            .over(wg.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__carry_max")
+        ],
+    )
+    w = Window.partitionBy(*group_by, "__bk").orderBy(*order_by).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return df.withColumn(out_col or f"{col}_cummax", F.max(col).over(w))
+    return stitched.withColumn(
+        out_name, F.greatest(F.max(col).over(w), F.col("__carry_max"))
+    ).drop("__bk", grid_t, "__carry_max")

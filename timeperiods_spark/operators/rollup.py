@@ -436,17 +436,44 @@ def _rollup_sweep_unit(
         *[F.sum(f"__ds_{v}").alias(f"__ds_{v}") for v in value_vars],
     )
 
-    w = (
-        _W.partitionBy(*group_vars) if group_vars else _W.partitionBy(F.lit(1))
-    ).orderBy("period")
+    # Prefix-sum + lead over the delta frame. A window partitioned by
+    # the group columns alone is one task per group — one task TOTAL
+    # ungrouped — so the scan runs within (group…, period-bucket) with
+    # per-bucket carries from plans/carry.py: running sums carry the
+    # exclusive-prefix bucket totals, and each bucket's last row takes
+    # its lead(period) from the next non-empty bucket's first period.
+    from ..plans.carry import attach_carry, plan_buckets
+
+    sum_cols = ["__dc"] + [f"__dn_{v}" for v in value_vars] + [
+        f"__ds_{v}" for v in value_vars
+    ]
+    plan = plan_buckets(agg, list(group_vars), "period")
+    excl = lambda wg: wg.rowsBetween(_W.unboundedPreceding, -1)  # noqa: E731
+    stitched = attach_carry(
+        plan,
+        [F.sum(c).alias(f"__b_{c}") for c in sum_cols]
+        + [F.min("period").alias("__bfirst")],
+        lambda wg: [
+            *[F.sum(f"__b_{c}").over(excl(wg)).alias(f"__c_{c}") for c in sum_cols],
+            F.lead("__bfirst").over(wg).alias("__h_next"),
+        ],
+    )
+    w = _W.partitionBy(*group_vars, "__bk").orderBy("period")
     wsum = w.rowsBetween(_W.unboundedPreceding, 0)
-    runs = agg.select(
+
+    def _run(c, alias, cast=None):
+        col = F.sum(c).over(wsum) + F.coalesce(
+            F.col(f"__c_{c}"), F.lit(0.0) if cast is None else F.lit(0)
+        )
+        return col.alias(alias)
+
+    runs = stitched.select(
         *group_vars,
         "period",
-        F.lead("period").over(w).alias("__next"),
-        F.sum("__dc").over(wsum).alias("__rc"),
-        *[F.sum(f"__dn_{v}").over(wsum).alias(f"__rn_{v}") for v in value_vars],
-        *[F.sum(f"__ds_{v}").over(wsum).alias(f"__rs_{v}") for v in value_vars],
+        F.coalesce(F.lead("period").over(w), F.col("__h_next")).alias("__next"),
+        _run("__dc", "__rc", cast="long"),
+        *[_run(f"__dn_{v}", f"__rn_{v}", cast="long") for v in value_vars],
+        *[_run(f"__ds_{v}", f"__rs_{v}") for v in value_vars],
     ).filter(F.col("__rc") > 0)
 
     cells = runs.select(
@@ -622,16 +649,48 @@ def gap_fill_locf(
         "__r_period", *[f"__r_{g}" for g in group_vars]
     )
 
+    # LOCF windows within (group…, period-bucket) with a per-bucket
+    # carry of the latest non-null value from earlier buckets
+    # (plans/carry.py) — a plain per-group window is one task per group
+    # and one task TOTAL when ungrouped. Scaffold periods are unique
+    # per group, so the struct max (ordered by period) is deterministic.
+    from ..plans.carry import attach_carry, plan_buckets
+
+    plan = plan_buckets(joined, group_vars, "period")
+    stitched = attach_carry(
+        plan,
+        [
+            F.max(
+                F.when(
+                    F.col(v).isNotNull(),
+                    F.struct(F.col("period").alias("__p"), F.col(v).alias("__v")),
+                )
+            ).alias(f"__b_{v}")
+            for v in value_vars
+        ],
+        lambda wg: [
+            F.max(f"__b_{v}")
+            .over(wg.rowsBetween(Window.unboundedPreceding, -1))
+            .alias(f"__c_{v}")
+            for v in value_vars
+        ],
+    )
     w = (
-        (Window.partitionBy(*group_vars) if group_vars else Window.partitionBy(F.lit(1)))
+        Window.partitionBy(*group_vars, "__bk")
         .orderBy("period")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn(
+    out = stitched.withColumn(
         "gap_filled", F.col("xduration").isNull() | (F.col("xduration") == 0)
     ).withColumn("xduration", F.coalesce("xduration", F.lit(0)))
     for v in value_vars:
         if f"nobs_{v}" in out.columns:
             out = out.withColumn(f"nobs_{v}", F.coalesce(f"nobs_{v}", F.lit(0)))
-        out = out.withColumn(f"{v}_filled", F.last(v, ignorenulls=True).over(w))
-    return out
+        out = out.withColumn(
+            f"{v}_filled",
+            F.coalesce(
+                F.last(v, ignorenulls=True).over(w),
+                F.col(f"__c_{v}").getField("__v"),
+            ),
+        )
+    return out.drop("__bk", *[f"__c_{v}" for v in value_vars])
