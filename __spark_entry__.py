@@ -1396,11 +1396,49 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup against a persisted band index (VERDICT r2
+    item 5): docs below the split bootstrap the index (ALL signatures,
+    survivors and dropped); the batch above the split probes it plus
+    itself. With monotone doc ids this reproduces EXACTLY the
+    whole-corpus single_hop survivor set — which is what the DuckDB
+    twin computes (union formulation: all pairs over the full corpus,
+    batch docs minus pair losers)."""
+    from timeperiods_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    split = 250
+    idx_b, idx_s = build_minhash_index(
+        docs.filter(F.col("doc_id") < split), "doc_id", "text",
+        k=5, n_hashes=12, bands=4,
+    )
+    r = minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") >= split), "doc_id", "text",
+        index_bands=idx_b, index_shingles=idx_s,
+        k=5, n_hashes=12, bands=4, verify_threshold=0.4,
+        broadcast_batch=True,
+    )
+    return r["deduped"].select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_MINHASH_INCREMENTAL = f"""
+WITH pr AS ({SQL_MINHASH_PAIRS})
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE doc_id >= 250
+  AND doc_id NOT IN (SELECT id_b FROM pr)
+"""
+
+
 _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_pairs,
     "minhash_dedup_cc": q_minhash_dedup_cc,
+    "minhash_dedup_incremental": q_minhash_incremental,
     "simhash_fingerprints": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk_bruteforce": q_cosine_topk,
@@ -1416,6 +1454,7 @@ _PIPELINE_ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
     "minhash_dedup_cc": SQL_MINHASH_CC,
+    "minhash_dedup_incremental": SQL_MINHASH_INCREMENTAL,
     "simhash_fingerprints": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,

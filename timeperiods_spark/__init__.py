@@ -19,11 +19,13 @@ from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
 from .operators.dedup import (
+    build_minhash_index,
     connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_dedup,
+    minhash_dedup_incremental,
     ngram_jaccard_pairs,
     simhash_frame,
     simhash_pairs,
@@ -78,6 +80,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",
+    "minhash_dedup_incremental",
+    "build_minhash_index",
     "connected_components",
     "simhash_frame",
     "simhash_pairs",

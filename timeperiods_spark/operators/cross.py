@@ -51,11 +51,15 @@ def grouped_cartesian(
         if missing:
             raise RoleValidationError(f"group columns {missing} missing from input {i}")
         out = df
+        # the gensym must also dodge the df's OWN other columns: renaming
+        # a colliding 'v' to 'i_v' when this df already has an 'i_v'
+        # would produce duplicate column names (r2 advice finding)
+        own = set(df.columns)
         for c in df.columns:
             if c in groups:
                 continue
             name = c
-            while name in seen:
+            while name in seen or (name != c and name in own):
                 if not auto_rename:
                     raise RoleValidationError(
                         f"non-group column {c!r} appears in multiple inputs; "

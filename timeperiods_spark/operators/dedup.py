@@ -180,6 +180,175 @@ def minhash_candidate_pairs(
     ).filter(F.col("jaccard") >= verify_threshold)
 
 
+def minhash_band_frame(
+    shingles: DataFrame, *, n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """(id, band, bsig) band rows from a shingle frame — the persisted
+    LSH index layout. One row per (doc, band); the shingle arrays stay
+    in their own (id, hashes) table so the index does not repeat a
+    document's shingle set ``bands`` times."""
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    return shingles.select(
+        "id",
+        TH.minhash_signature_spark(F.col("hashes"), n_hashes).alias("sig"),
+    ).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice("sig", bi * r + 1, r).cast("array<long>").alias("bsig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bsig")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Bootstrap the persistable MinHash index for incremental dedup:
+    returns ``(index_bands, index_shingles)`` — (id, band, bsig) and
+    (id, hashes). Write both to tables (partition/bucket the band table
+    by (band, bsig-hash) at scale); nightly batches then probe them via
+    :func:`minhash_dedup_incremental` instead of re-scanning the whole
+    corpus."""
+    sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
+    return minhash_band_frame(sh, n_hashes=n_hashes, bands=bands), sh
+
+
+def minhash_dedup_incremental(
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    index_bands: Optional[DataFrame] = None,
+    index_shingles: Optional[DataFrame] = None,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.7,
+    broadcast_batch: bool = False,
+) -> dict:
+    """Deduplicate a NEW batch against a persisted corpus index — what
+    a production 100 TB pipeline runs nightly, instead of re-deduping
+    the whole corpus per batch.
+
+    The batch is shingled and banded once; candidates are (a) batch
+    docs sharing a band with an INDEXED doc (an equi probe of the index
+    keyed by (band, bsig) — only the batch's band keys travel) and (b)
+    batch-internal pairs (the same self join the whole-corpus path
+    uses). Exact Jaccard verifies candidates; a batch doc is dropped
+    when any verified match has a smaller id (single_hop semantics).
+
+    Returns ``{"deduped", "new_bands", "new_shingles"}``. The new
+    index rows cover EVERY batch doc — survivors AND dropped docs —
+    because whole-corpus single_hop drops ``b`` when any ``a < b``
+    matches, even an ``a`` that was itself dropped; indexing only
+    survivors would silently diverge. With monotonically growing doc
+    ids (the append-only production shape), running batches through
+    this operator yields EXACTLY the whole-corpus ``minhash_dedup``
+    survivor set; with out-of-order ids a cross pair whose batch doc
+    precedes the indexed doc is ignored (the already-published indexed
+    doc cannot be retroactively dropped).
+
+    ``broadcast_batch=True`` hints the batch band frame broadcast-able
+    (the designed shape: batch << corpus index), turning the index
+    probe into a map-side join over the index scan.
+    """
+    batch_sh = shingle_frame(new_batch, id_col, text_col, k).filter(
+        F.size("hashes") > 0
+    )
+    from pyspark import StorageLevel
+
+    batch_sh = batch_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
+    if index_bands is None or index_shingles is None:
+        # cold start: empty index with the right schemas
+        if index_bands is not None or index_shingles is not None:
+            raise ValueError("pass both index frames or neither")
+        index_bands = batch_bands.filter(F.lit(False))
+        index_shingles = batch_sh.filter(F.lit(False))
+
+    probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
+    cross = (
+        index_bands.select(
+            F.col("id").alias("id_a"),
+            F.col("band").alias("band_a"),
+            F.col("bsig").alias("bsig_a"),
+        )
+        .join(
+            probe.select(
+                F.col("id").alias("id_b"),
+                F.col("band").alias("band_b"),
+                F.col("bsig").alias("bsig_b"),
+            ),
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bsig_a") == F.col("bsig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    internal = (
+        batch_bands.select(
+            F.col("id").alias("id_a"),
+            F.col("band").alias("band_a"),
+            F.col("bsig").alias("bsig_a"),
+        )
+        .join(
+            batch_bands.select(
+                F.col("id").alias("id_b"),
+                F.col("band").alias("band_b"),
+                F.col("bsig").alias("bsig_b"),
+            ),
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bsig_a") == F.col("bsig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+
+    # verify on UNIQUE pairs only; the left side may come from either
+    # corpus, the right side is always a batch doc
+    all_sh = index_shingles.select("id", "hashes").unionByName(
+        batch_sh.select("id", "hashes")
+    )
+    withsets = cand.join(
+        all_sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a")),
+        "id_a",
+    ).join(
+        batch_sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size("h_a") + F.size("h_b") - inter  # arrays are distinct
+    losers = (
+        withsets.select(
+            "id_b", (inter / F.when(union > 0, union)).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return {
+        "deduped": new_batch.join(losers, id_col, "left_anti"),
+        "new_bands": batch_bands,
+        "new_shingles": batch_sh,
+    }
+
+
 def connected_components(
     pairs: DataFrame,
     *,

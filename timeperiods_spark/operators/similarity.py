@@ -18,8 +18,9 @@ Scale design:
   one literal each) and the per-plane dot is aggregate(zip_with(...)),
   so the plan size is O(n_planes), independent of dim — an unrolled
   element_at sum at dim=1024, n_planes=16 would be a 16k-node plan
-  that breaks codegen. Multi-probe (flipping low-margin bits) is the
-  standard recall extension; out of scope this round and noted here.
+  that breaks codegen. Multi-probe (``probes=``, flipping sign bits to
+  visit neighboring buckets) is implemented in ``srp_probe_buckets``
+  below — the fan-out is on the broadcast query side only.
 """
 
 from __future__ import annotations

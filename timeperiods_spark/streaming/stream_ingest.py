@@ -150,6 +150,10 @@ def stateful_locf_stream(
 
     def fill(key, pdfs, state: GroupState):
         chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            # a group can surface with no data rows (e.g. state-only
+            # invocations); nothing to emit
+            return
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         # one value per period inside the batch (mean of duplicates),
         # ordered — the stateful walk needs monotone periods
@@ -160,6 +164,14 @@ def stateful_locf_stream(
         out_p, out_v, out_g = [], [], []
         for p, v in obs.items():
             p = int(p)
+            if last_p is not None and p <= last_p:
+                # late/out-of-order observation at or before the carried
+                # frontier: already emitted (possibly as a gap fill) —
+                # re-emitting would duplicate periods in append mode.
+                # Dropped, matching watermark semantics; sources that
+                # must not lose data should be watermarked/monotone per
+                # group upstream.
+                continue
             if last_p is not None:
                 for gap in range(last_p + 1, p):
                     out_p.append(gap)
