@@ -24,6 +24,19 @@ are additive, so the read path merges deltas with one hash aggregate
 (``merge_partials``), and ``compact`` folds deltas into a ``__base``
 batch to keep read amplification bounded.
 
+Reader atomicity (the Iceberg snapshot-pointer analog): each tier keeps
+a ``_batches.txt`` manifest naming the LIVE batch set; readers filter
+to it (a partition-column filter, so dead dirs are pruned, not read).
+``compact`` writes the new base under a batch name readers cannot see
+yet, then atomically replaces the manifest (os.replace), then vacuums
+dead dirs — a reader planning at any instant sees either the old delta
+set or the new base, never both and never a half-written base. Mirrors
+Iceberg commit (manifest swap) + expire_snapshots (vacuum). Deletion
+can be deferred (``remove_old=False`` + later ``vacuum``) to give
+in-flight readers a grace period, exactly like snapshot expiry.
+The manifest assumes one writer per tier (the runner's shape); files
+beginning with ``_`` are ignored by Spark's file listing.
+
 The pbucket partition column gives (a) partition pruning on
 period-range reads, (b) O(1) retention drops, (c) the natural unit for
 per-partition lineage.
@@ -34,7 +47,7 @@ from __future__ import annotations
 import os
 import shutil
 from dataclasses import dataclass, field
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -70,6 +83,51 @@ class TierCatalog:
     def exists(self, tier: str) -> bool:
         return os.path.isdir(self.tier_path(tier))
 
+    # -------------------------------------------------------- manifest
+    def _manifest_path(self, tier: str) -> str:
+        return os.path.join(self.tier_path(tier), "_batches.txt")
+
+    def _present_batches(self, tier: str) -> set[str]:
+        """Batch names that physically exist under any pbucket dir."""
+        path = self.tier_path(tier)
+        batches: set[str] = set()
+        if not os.path.isdir(path):
+            return batches
+        for pb in os.listdir(path):
+            p = os.path.join(path, pb)
+            if pb.startswith("pbucket=") and os.path.isdir(p):
+                batches.update(
+                    b.split("=", 1)[1]
+                    for b in os.listdir(p)
+                    if b.startswith("batch=")
+                )
+        return batches
+
+    def live_batches(self, tier: str) -> Optional[list[str]]:
+        """The manifest's live batch set, or None when no manifest
+        exists (legacy layout: every present dir is live)."""
+        mp = self._manifest_path(tier)
+        if not os.path.isfile(mp):
+            return None
+        with open(mp) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+
+    def _write_manifest(self, tier: str, batches: Sequence[str]) -> None:
+        """Atomic manifest swap (write temp + os.replace) — the commit
+        point every reader keys off."""
+        mp = self._manifest_path(tier)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(set(batches))) + "\n")
+        os.replace(tmp, mp)
+
+    def _filter_live(self, df: DataFrame, tier: str) -> DataFrame:
+        live = self.live_batches(tier)
+        if live is None:
+            return df
+        # batch is a partition column: the isin filter prunes dead dirs
+        return df.filter(F.col("batch").isin(list(live)))
+
     # ------------------------------------------------------------- I/O
     def upsert(self, new_partials: DataFrame, tier: str, batch_id: str) -> None:
         """Add one batch's additive partials as a delta. Idempotent:
@@ -91,6 +149,19 @@ class TierCatalog:
             .partitionBy("pbucket", "batch")
             .parquet(path)
         )
+        # register in the live set AFTER the data lands (a crash before
+        # this line leaves an invisible, vacuum-able dir; the re-run
+        # overwrites it and registers — never a torn visible batch)
+        live = self.live_batches(tier)
+        if live is None:
+            # first manifest: adopt every physically present batch so a
+            # legacy (pre-manifest) tier keeps all its data visible
+            live = sorted(self._present_batches(tier))
+            if batch_id not in live:
+                live.append(batch_id)
+        elif batch_id not in live:
+            live = list(live) + [batch_id]
+        self._write_manifest(tier, live)
 
     def read_batch_delta(
         self, spark: SparkSession, tier: str, batch_id: str
@@ -105,9 +176,12 @@ class TierCatalog:
         )
 
     def read_partials(self, spark: SparkSession, tier: str) -> DataFrame:
-        """Merged view over all deltas — one hash aggregate; pbucket
-        pruning still applies to filters pushed through it."""
-        raw = spark.read.parquet(self.tier_path(tier)).drop("pbucket", "batch")
+        """Merged view over all LIVE deltas — one hash aggregate;
+        pbucket pruning still applies to filters pushed through it, and
+        the live-batch filter prunes dead (pre-vacuum) batch dirs."""
+        raw = self._filter_live(
+            spark.read.parquet(self.tier_path(tier)), tier
+        ).drop("pbucket", "batch")
         return merge_partials(raw, self.value_vars, self.group_vars)
 
     def read_finished(
@@ -146,27 +220,73 @@ class TierCatalog:
                 dropped.append(entry)
         return dropped
 
-    def compact(self, spark: SparkSession, tier: str) -> None:
-        """Fold all deltas into a single ``__base`` delta (bounds read
-        amplification after many batches; Iceberg rewriteDataFiles)."""
-        path = self.tier_path(tier)
-        merged = self.read_partials(spark, tier).cache()
-        merged.count()  # materialize before we delete the source
-        tmp = path + ".compact.tmp"
-        self._with_parts(merged, BASE_BATCH).write.mode("overwrite").partitionBy(
+    def compact(
+        self, spark: SparkSession, tier: str, *, remove_old: bool = True
+    ) -> str:
+        """Fold all live deltas into a single base delta (bounds read
+        amplification after many batches; Iceberg rewriteDataFiles).
+
+        Reader-safe: the base is written under a NEW batch name that no
+        manifest references yet (concurrent readers keep seeing the old
+        delta set), then one atomic manifest swap makes it the only
+        live batch. ``remove_old=True`` vacuums the dead dirs
+        immediately — a reader that planned against the old snapshot
+        and is still executing could then hit missing files, so
+        deployments with long-running readers should pass
+        ``remove_old=False`` and ``vacuum()`` after a grace period
+        (Iceberg expire_snapshots). Returns the new base batch name."""
+        live = self.live_batches(tier)
+        if live is None:
+            live = sorted(self._present_batches(tier))
+            self._write_manifest(tier, live)
+        # localCheckpoint severs the file lineage: the write below
+        # targets the same directory tree it was read from, which
+        # Spark's overwrite-while-reading guard would otherwise reject
+        # (and eager materialization snapshots the old delta set before
+        # any new files land)
+        merged = self.read_partials(spark, tier).localCheckpoint(eager=True)
+        # unique, monotone base name: readers can never have seen it
+        gen = 1 + max(
+            (int(b[len(BASE_BATCH):] or 0) for b in self._present_batches(tier)
+             if b.startswith(BASE_BATCH)),
+            default=-1,
+        )
+        base_name = f"{BASE_BATCH}{gen}"
+        self._with_parts(merged, base_name).repartition("pbucket").write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "pbucket", "batch"
-        ).parquet(tmp)
-        merged.unpersist()
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        ).parquet(self.tier_path(tier))
+        self._write_manifest(tier, [base_name])  # the commit point
+        if remove_old:
+            self.vacuum(tier)
+        return base_name
+
+    def vacuum(self, tier: str) -> list[str]:
+        """Delete batch dirs no longer in the live manifest (Iceberg
+        expire_snapshots + remove_orphan_files). Safe to defer."""
+        live = self.live_batches(tier)
+        if live is None:
+            return []
+        keep = set(live)
+        path = self.tier_path(tier)
+        dropped = []
+        for pb in sorted(os.listdir(path)):
+            p = os.path.join(path, pb)
+            if not (pb.startswith("pbucket=") and os.path.isdir(p)):
+                continue
+            for b in sorted(os.listdir(p)):
+                if b.startswith("batch=") and b.split("=", 1)[1] not in keep:
+                    shutil.rmtree(os.path.join(p, b))
+                    dropped.append(f"{pb}/{b}")
+        return dropped
 
     def delta_count(self, tier: str) -> int:
-        path = self.tier_path(tier)
-        if not os.path.isdir(path):
+        """Number of LIVE deltas (what the read path pays); dead dirs
+        awaiting vacuum don't count."""
+        if not os.path.isdir(self.tier_path(tier)):
             return 0
-        batches = set()
-        for pb in os.listdir(path):
-            p = os.path.join(path, pb)
-            if pb.startswith("pbucket=") and os.path.isdir(p):
-                batches.update(b for b in os.listdir(p) if b.startswith("batch="))
-        return len(batches)
+        live = self.live_batches(tier)
+        if live is not None:
+            return len(live)
+        return len(self._present_batches(tier))
