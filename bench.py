@@ -8,7 +8,15 @@ on local[$SPARK_GRAFT_CPUS]:
   remove_overlaps   endpoint sweep over overlapping lineitem intervals
   tier_rollup       token table -> hourly/daily/weekly partials (the
                     north-star metric, reported as points/sec)
-  gorilla           compress+decompress the hourly series
+  gorilla           compress+decompress the hourly series (compress and
+                    decode throughput split out in extras)
+
+Headline hygiene (r2 verdict): every query runs SPARK_GRAFT_BENCH_REPS
+interleaved passes, each bracketed by 4-thread steal probes taken while
+Spark is idle (a probe DURING a full-width run cannot tell co-tenant
+steal from our own load); reported time = best clean-bracketed rep,
+with all walls + probes in extras. ANN recall@10 for the LSH and IVF
+families vs the brute-force truth rides along in extras.
 
 Scaling evidence (north rule: >=0.8 throughput efficiency from N to 4N
 executors; no real cluster in this sandbox): the tier job re-runs in
@@ -50,21 +58,82 @@ from timeperiods_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+HEAD_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+#: canary width while the 32-thread headline session runs beside it —
+#: narrow enough not to contend on a quiet host, wide enough that
+#: co-tenant core theft (which steals machine-wide) still reads high
+HEAD_CANARY_THREADS = 4
 
 
 def _count(df) -> int:
     return df.count()
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
-    times: dict[str, float] = {}
-    extras: dict[str, float] = {}
+def _steal_seconds(samples: list[float], n_threads: int) -> float:
+    """Total canary excess over the quiet threshold — an estimate of
+    how much co-tenant steal bit into the sampled window."""
+    thr = _probe_threshold(n_threads)
+    return round(sum(max(0.0, s - thr) for s in samples), 3)
 
-    def run(name, fn):
-        t0 = time.time()
-        n = fn()
-        times[name] = round(time.time() - t0, 3)
-        extras[f"{name}_rows"] = n
+
+def _bracketed_call(fn, n_threads: int):
+    """Run ``fn`` with steal-canary probes immediately before and after.
+
+    The scaling legs sample CONTINUOUSLY because their jobs use <=16 of
+    the 32 vcpus, leaving quiet-host headroom for the sampler. The
+    headline session runs at full width, so an in-flight probe cannot
+    distinguish co-tenant steal from our own load — bracketing probes
+    (taken while Spark is idle between reps) are the honest signal
+    there, backed by rep dispersion in extras."""
+    time.sleep(0.4)  # let our own JVM tail (GC/JIT threads) quiesce
+    pre = _cpu_probe(n_threads)
+    t0 = time.time()
+    result = fn()
+    wall = round(time.time() - t0, 3)
+    time.sleep(0.4)
+    post = _cpu_probe(n_threads)
+    return result, wall, [pre, post]
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Headline queries with the r2-verdict measurement hygiene: each
+    query runs HEAD_REPS interleaved passes, bracketed by idle-time
+    steal probes; the reported time is the best clean-bracketed rep
+    (steal only ever inflates), falling back to the overall min with
+    clean=False recorded in-band. Rep 1 includes JVM/JIT warmup, so
+    min-of-reps reads as steady-state."""
+    extras: dict[str, float] = {}
+    state: dict = {}
+    queries = _build_queries(spark, state, extras)
+
+    all_times: dict[str, list[float]] = {n: [] for n, _ in queries}
+    all_probes: dict[str, list[list[float]]] = {n: [] for n, _ in queries}
+    for _rep in range(HEAD_REPS):
+        for name, fn in queries:
+            _, wall, brackets = _bracketed_call(fn, HEAD_CANARY_THREADS)
+            all_times[name].append(wall)
+            all_probes[name].append([round(b, 3) for b in brackets])
+        cleanup = state.pop("cleanup", None)
+        if cleanup:
+            cleanup()
+
+    thr = _probe_threshold(HEAD_CANARY_THREADS)
+    times: dict[str, float] = {}
+    for name in all_times:
+        walls, probes = all_times[name], all_probes[name]
+        clean_idx = [i for i, p in enumerate(probes) if max(p) <= thr]
+        best = min(clean_idx or range(len(walls)), key=lambda i: walls[i])
+        times[name] = walls[best]
+        extras[f"{name}_all_seconds"] = [round(w, 3) for w in walls]
+        extras[f"{name}_bracket_probes"] = probes
+        extras[f"{name}_clean"] = bool(clean_idx)
+    return times, extras
+
+
+def _build_queries(spark, state: dict, extras: dict):
+    """Ordered (name, fn) list; fns share per-rep state (the tier
+    rollup's cached hourly feeds gorilla) and register a cleanup."""
+    queries = []
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     w = Window.partitionBy("g").orderBy("o_orderkey")
@@ -80,9 +149,12 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         spark.range(n_per).select((F.col("id") * 30).cast("long").alias("s"),
                                   (F.col("id") * 30 + 29).cast("long").alias("e"))
     )
-    run("iwa_orders", lambda: _count(
-        interval_weighted_avg(x, y, ("s", "e"), ("v",), ("g",), 50.0,
-                              validate=False, assume_y_distinct=True)))
+    def q_iwa_orders():
+        extras["iwa_orders_rows"] = _count(
+            interval_weighted_avg(x, y, ("s", "e"), ("v",), ("g",), 50.0,
+                                  validate=False, assume_y_distinct=True))
+
+    queries.append(("iwa_orders", q_iwa_orders))
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     wu = Window.partitionBy(F.lit(1)).orderBy("event_id")
@@ -94,10 +166,13 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     yu = spark.range(n_ev * 5 // 500 + 2).select(
         (F.col("id") * 500).cast("long").alias("s"),
         (F.col("id") * 500 + 499).cast("long").alias("e"))
-    run("iwa_bin_ungrouped", lambda: _count(
-        interval_weighted_avg(xu, yu, ("s", "e"), ("v",), None, 50.0,
-                              validate=False, assume_y_distinct=True,
-                              join_strategy="bin", bin_width=256, skew_salt=8)))
+    def q_iwa_bin():
+        extras["iwa_bin_ungrouped_rows"] = _count(
+            interval_weighted_avg(xu, yu, ("s", "e"), ("v",), None, 50.0,
+                                  validate=False, assume_y_distinct=True,
+                                  join_strategy="bin", bin_width=256, skew_salt=8))
+
+    queries.append(("iwa_bin_ungrouped", q_iwa_bin))
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     wl = Window.partitionBy("g").orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
@@ -108,43 +183,108 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         .select("g", F.col("rn").cast("long").alias("s"),
                 (F.col("rn") + (F.col("l_quantity").cast("long") % 5) + 1).alias("e"))
     )
-    run("remove_overlaps", lambda: _count(remove_overlaps(xl, ("s", "e"), ("g",))))
+    def q_remove_overlaps():
+        extras["remove_overlaps_rows"] = _count(
+            remove_overlaps(xl, ("s", "e"), ("g",)))
+
+    queries.append(("remove_overlaps", q_remove_overlaps))
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    run("minhash_dedup", lambda: _count(
-        minhash_dedup(docs, "doc_id", "text", verify_threshold=0.5)))
 
-    tok = token_table(spark, N_DOCS, partitions=CPUS * 4)
-    t0 = time.time()
-    # the recommended hot-path configuration (same as jobs/run_tiers.py):
-    # boundary sweep, int-encoded group keys with a caller-known decode
-    # dim, endpoint asserts off for the trusted generator
-    hourly = rollup_regular(
-        tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
-        width=1, partial=True, algorithm="sweep", validate=False,
-        group_encoders={"source": F.substring("source", 5, 3).cast("int")},
-        group_dim=spark.range(11).selectExpr("concat('src_', id) AS source"),
+    def q_minhash():
+        extras["minhash_dedup_rows"] = _count(
+            minhash_dedup(docs, "doc_id", "text", verify_threshold=0.5))
+
+    queries.append(("minhash_dedup", q_minhash))
+
+    def q_tier():
+        tok = token_table(spark, N_DOCS, partitions=CPUS * 4)
+        t0 = time.time()
+        # the recommended hot-path configuration (jobs/run_tiers.py):
+        # boundary sweep, int-encoded group keys with a caller-known
+        # decode dim, endpoint asserts off for the trusted generator
+        hourly = rollup_regular(
+            tok, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+            width=1, partial=True, algorithm="sweep", validate=False,
+            group_encoders={"source": F.substring("source", 5, 3).cast("int")},
+            group_dim=spark.range(11).selectExpr("concat('src_', id) AS source"),
+        ).cache()
+        pts = hourly.count()
+        daily = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=24)
+        weekly = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=168)
+        pts += daily.count() + weekly.count()
+        dt = time.time() - t0
+        extras["tier_rollup_points"] = pts
+        extras["tier_points_per_sec"] = round(pts / dt, 1)
+        extras["tier_docs_per_sec"] = round(N_DOCS / dt, 1)
+        state["hourly"] = hourly
+
+    queries.append(("tier_rollup", q_tier))
+
+    def q_gorilla():
+        hourly = state["hourly"]
+        series = hourly.select(
+            "source", "period",
+            (F.col("sumprod_n_tok") / F.col("nobs_n_tok")).alias("value"))
+        t0 = time.time()
+        comp = compress_series(series, ["source"]).cache()
+        n_pts = int(comp.agg(F.sum("n_points")).first()[0] or 0)
+        t1 = time.time()
+        n_back = decompress_series(comp, ["source"]).count()
+        t2 = time.time()
+        extras["gorilla_points"] = n_back
+        extras["gorilla_blocks"] = comp.count()
+        extras["gorilla_compress_pts_per_sec"] = round(n_pts / max(1e-9, t1 - t0), 1)
+        extras["gorilla_decode_pts_per_sec"] = round(n_back / max(1e-9, t2 - t1), 1)
+        comp.unpersist()
+
+        def cleanup():
+            state.pop("hourly").unpersist()
+
+        state["cleanup"] = cleanup
+
+    queries.append(("gorilla", q_gorilla))
+    return queries
+
+
+def ann_recall(spark) -> dict:
+    """Measured recall@k of both ANN families vs the brute-force truth
+    on the embeddings table (VERDICT r2 item 10) — the evidence base
+    for tuning n_planes/probes/n_probe."""
+    from timeperiods_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     ).cache()
-    pts = hourly.count()
-    daily = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=24)
-    weekly = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=168)
-    pts += daily.count() + weekly.count()
-    times["tier_rollup"] = round(time.time() - t0, 3)
-    extras["tier_rollup_points"] = pts
-    extras["tier_points_per_sec"] = round(pts / times["tier_rollup"], 1)
-    extras["tier_docs_per_sec"] = round(N_DOCS / times["tier_rollup"], 1)
+    k = 10
 
-    series = hourly.select("source", "period",
-                           (F.col("sumprod_n_tok") / F.col("nobs_n_tok")).alias("value"))
-    t0 = time.time()
-    comp = compress_series(series, ["source"]).cache()
-    comp.count()
-    n_back = decompress_series(comp, ["source"]).count()
-    times["gorilla"] = round(time.time() - t0, 3)
-    extras["gorilla_points"] = n_back
-    comp.unpersist()
-    hourly.unpersist()
-    return times, extras
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.select("query_id", "vec_id").collect()}
+
+    truth = pairs(cosine_topk(emb, queries_df, k=k))
+    out = {}
+    for name, fn in (
+        ("lsh", lambda: cosine_topk_lsh(
+            emb, queries_df, k=k, dim=64, n_planes=6, probes=1)),
+        ("lsh_tuned", lambda: cosine_topk_lsh(
+            emb, queries_df, k=k, dim=64, n_planes=6, probes=2)),
+        ("ivf", lambda: cosine_topk_ivf(
+            emb, queries_df, k=k, dim=64, n_centroids=16, n_probe=4)),
+        ("ivf_tuned", lambda: cosine_topk_ivf(
+            emb, queries_df, k=k, dim=64, n_centroids=16, n_probe=8)),
+    ):
+        t0 = time.time()
+        got = pairs(fn())
+        out[f"ann_recall_{name}_at_{k}"] = round(
+            len(got & truth) / max(1, len(truth)), 4)
+        out[f"ann_{name}_seconds"] = round(time.time() - t0, 3)
+    queries_df.unpersist()
+    return out
 
 
 def _cpu_probe(n_threads: int = 1) -> float:
@@ -218,7 +358,13 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
     probes: dict[int, list[list[float]]] = {lo: [], hi: []}
 
     def clean(cores: int, i: int) -> bool:
-        return max(probes[cores][i]) <= _probe_threshold(cores)
+        # steal-SECONDS gate, not max-sample: a single 0.6 s canary blip
+        # inflates a 60 s run by ≲1%, yet the r2 max-gate threw away the
+        # whole rep for it (every primary-pair rep read dirty). The sum
+        # of excess canary time bounds the plausible inflation; a rep is
+        # clean when that bound stays under 3% of its wall (min 0.4 s).
+        steal = _steal_seconds(probes[cores][i], cores)
+        return steal <= max(0.4, 0.03 * runs[cores][i]["seconds"])
 
     def one_round(rep: int) -> None:
         for cores in (lo, hi):
@@ -272,6 +418,9 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
             "canary_max_per_rep": [
                 round(max(p), 3) if p else None for p in probes[cores]
             ],
+            "steal_seconds_per_rep": [
+                _steal_seconds(p, cores) for p in probes[cores]
+            ],
         }
     thr_lo = out[f"local{lo}"]["docs_per_sec"]
     thr_hi = out[f"local{hi}"]["docs_per_sec"]
@@ -317,9 +466,11 @@ def scaling_runs() -> dict:
 
 def main():
     spark = get_spark("timeperiods-bench", master=f"local[{CPUS}]")
-    t0 = time.time()
     times, extras = bench_queries(spark)
-    total = round(time.time() - t0, 3)
+    # value = sum of per-query best-clean reps (steady-state total; the
+    # per-rep walls and steal evidence are in extras)
+    total = round(sum(times.values()), 3)
+    extras.update(ann_recall(spark))
     spark.stop()
 
     scaling = {}

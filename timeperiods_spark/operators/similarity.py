@@ -158,24 +158,37 @@ def srp_bucket_sql(vec_expr: str, dim: int, n_planes: int) -> str:
 
 def srp_probe_buckets(bucket: Column, n_planes: int, probes: int = 1) -> Column:
     """Multi-probe bucket set: the row's own SRP bucket plus every
-    bucket at hamming distance 1 (each single plane-bit flipped).
-    Flipping the least-confident planes first is the classic refinement;
-    flipping ALL single bits is the deterministic superset of it, which
-    keeps the DuckDB oracle exact. probes=0 → just the own bucket."""
-    if probes not in (0, 1):
-        raise ValueError("probes must be 0 (exact bucket) or 1 (all single-bit flips)")
-    if probes == 0:
-        return F.array(bucket)
-    return F.array(
-        bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-    )
+    bucket within hamming distance ``probes`` (all plane-bit flips up
+    to that depth). Flipping the least-confident planes first is the
+    classic refinement; flipping ALL combinations is the deterministic
+    superset of it, which keeps the DuckDB oracle exact. probes=0 →
+    just the own bucket; the fan-out is 1 + C(n,1) + … + C(n,probes)
+    per QUERY row (the broadcast side), never on the corpus."""
+    if probes not in (0, 1, 2):
+        raise ValueError("probes must be 0, 1 (single-bit), or 2 (two-bit flips)")
+    masks = _probe_masks(n_planes, probes)
+    return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
+
+
+def _probe_masks(n_planes: int, probes: int) -> list[int]:
+    masks = [0]
+    if probes >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probes >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    return masks
 
 
 def srp_probe_buckets_sql(bucket_expr: str, n_planes: int, probes: int = 1) -> str:
-    if probes == 0:
-        return f"[{bucket_expr}]"
-    flips = ", ".join(f"xor({bucket_expr}, {1 << p})" for p in range(n_planes))
-    return f"[{bucket_expr}, {flips}]"
+    parts = ", ".join(
+        bucket_expr if m == 0 else f"xor({bucket_expr}, {m})"
+        for m in _probe_masks(n_planes, probes)
+    )
+    return f"[{parts}]"
 
 
 def cosine_topk_lsh(
