@@ -695,6 +695,118 @@ FROM joined
 """
 
 
+def q_gap_fill_interp(spark, sf_dir):
+    """Linear interpolation between neighboring observations (the
+    gap-fill family's second mode; TimescaleDB `interpolate` analog) —
+    NULL outside the observed range, exact value at observed periods."""
+    from timeperiods_spark.operators.rollup import gap_fill_interpolate
+
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t,
+        ("start_hour", "end_hour"),
+        ("n_tok",),
+        ("source",),
+        width=24,
+        required_percentage=0.0,
+    )
+    # anchor parity with the oracle: the SQL twin's daily n_tok is
+    # ROUND(.., 6); interpolating from unrounded anchors differs in the
+    # 6th decimal, so round the Spark anchors identically first
+    daily = daily.withColumn("n_tok", F.round("n_tok", 6))
+    filled = gap_fill_interpolate(
+        daily, ("n_tok",), ("source",), width=24, span=(0, 24 * 366 - 1)
+    )
+    return filled.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round(F.col("n_tok_interp"), _R).alias("n_tok_interp"),
+        F.col("gap_filled"),
+    )
+
+
+SQL_GAP_FILL_INTERP = f"""
+WITH daily AS ({_token_rollup_sql(24)}),
+scaffold AS (
+  SELECT s.source, CAST(p.range AS BIGINT) AS period
+  FROM (SELECT DISTINCT source FROM daily) s
+  CROSS JOIN range(366) p
+),
+joined AS (
+  SELECT sc.source, sc.period, d.n_tok, d.xduration
+  FROM scaffold sc LEFT JOIN daily d
+    ON sc.source = d.source AND sc.period = d.period
+),
+anchored AS (
+  SELECT source, period, n_tok, xduration,
+         MAX(CASE WHEN n_tok IS NOT NULL THEN period END) OVER (
+             PARTITION BY source ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+         last_value(n_tok IGNORE NULLS) OVER (
+             PARTITION BY source ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         MIN(CASE WHEN n_tok IS NOT NULL THEN period END) OVER (
+             PARTITION BY source ORDER BY period
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p,
+         first_value(n_tok IGNORE NULLS) OVER (
+             PARTITION BY source ORDER BY period
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+  FROM joined
+)
+SELECT source, period,
+       ROUND(CASE
+         WHEN n_tok IS NOT NULL THEN n_tok
+         WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+         ELSE prev_v + (next_v - prev_v) * (period - prev_p)
+              / CAST(next_p - prev_p AS DOUBLE)
+       END, 6) AS n_tok_interp,
+       (xduration IS NULL OR xduration = 0) AS gap_filled
+FROM anchored
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream: per-user session
+    ordinal with a 30-minute inactivity gap. The carry-bucketed
+    prefix-sum must reproduce the plain windowed formulation the DuckDB
+    twin uses."""
+    from timeperiods_spark import sessionize
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("tsec"),
+    )
+    out = sessionize(
+        ev, "tsec", 1800, ["user_id"], tiebreak=["event_id"]
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS tsec FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tsec,
+         CASE WHEN lag(tsec) OVER w IS NULL
+                   OR tsec - lag(tsec) OVER w > 1800
+              THEN 1 ELSE 0 END AS f
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+FROM flagged
+"""
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Compression round-trip audit (non-SQL-expressible: bit-packed
     binary codec → rows-only driver check). n_mismatch must be 0."""
@@ -911,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily_tokens": q_rollup_daily,
         "rollup_weekly_cascade": q_rollup_weekly_cascade,
         "gap_fill_locf_daily": q_gap_fill_locf,
+        "gap_fill_interp_daily": q_gap_fill_interp,
+        "sessionize_events": q_sessionize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "running_max_events": q_running_max,
         "asof_events": q_asof_events,
@@ -933,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_daily_tokens": _token_rollup_sql(24),
         "rollup_weekly_cascade": _token_rollup_sql(168),
         "gap_fill_locf_daily": SQL_GAP_FILL,
+        "gap_fill_interp_daily": SQL_GAP_FILL_INTERP,
+        "sessionize_events": SQL_SESSIONIZE,
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
         "running_max_events": SQL_RUNNING_MAX,
         "asof_events": SQL_ASOF_EVENTS,

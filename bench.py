@@ -86,6 +86,7 @@ def _bracketed_call(fn, n_threads: int):
     (taken while Spark is idle between reps) are the honest signal
     there, backed by rep dispersion in extras."""
     time.sleep(0.4)  # let our own JVM tail (GC/JIT threads) quiesce
+    _cpu_probe(n_threads)  # warm (thread spawn + page faults)
     pre = _cpu_probe(n_threads)
     t0 = time.time()
     result = fn()
@@ -208,6 +209,7 @@ def _build_queries(spark, state: dict, extras: dict):
             width=1, partial=True, algorithm="sweep", validate=False,
             group_encoders={"source": F.substring("source", 5, 3).cast("int")},
             group_dim=spark.range(11).selectExpr("concat('src_', id) AS source"),
+            carry_hints={"span": (0, 365 * 24 + 64), "groups": 11},
         ).cache()
         pts = hourly.count()
         daily = cascade(hourly, ("n_tok",), ("source",), fine_width=1, coarse_width=24)
@@ -245,6 +247,33 @@ def _build_queries(spark, state: dict, extras: dict):
 
     queries.append(("gorilla", q_gorilla))
     return queries
+
+
+def gorilla_bulk_throughput(spark) -> dict:
+    """Aggregate codec throughput on a series large enough to amortize
+    per-job overhead (the sf0.1 hourly series is only ~85k points):
+    VERDICT r2 item 8 asks decode >= 5M points/s aggregate. Blocks make
+    decode embarrassingly parallel — one Arrow batch per 4096-period
+    block across all cores."""
+    n = int(os.environ.get("SPARK_GRAFT_GORILLA_BULK", "4000000"))
+    series = spark.range(n, numPartitions=CPUS * 2).select(
+        (F.col("id") % 8).cast("string").alias("g"),
+        (F.col("id") / 8).cast("long").alias("period"),
+        ((F.col("id") * 2654435761) % 100000).cast("double").alias("value"),
+    )
+    t0 = time.time()
+    comp = compress_series(series, ["g"]).cache()
+    n_pts = int(comp.agg(F.sum("n_points")).first()[0] or 0)
+    t1 = time.time()
+    n_back = decompress_series(comp, ["g"]).count()
+    t2 = time.time()
+    comp.unpersist()
+    assert n_back == n_pts == n
+    return {
+        "gorilla_bulk_points": n,
+        "gorilla_bulk_compress_pts_per_sec": round(n / (t1 - t0), 1),
+        "gorilla_bulk_decode_pts_per_sec": round(n / (t2 - t1), 1),
+    }
 
 
 def ann_recall(spark) -> dict:
@@ -336,6 +365,9 @@ def _sampled_run(cmd: list[str], cores: int) -> tuple[dict, list[float]]:
 
     samples: list[float] = []
     stop = threading.Event()
+    _cpu_probe(cores)  # warm the probe: the first burn pays numpy
+    # thread-spawn + page-fault costs (~0.5-0.9 s) that would otherwise
+    # read as steal on every rep
 
     def sampler():
         while not stop.is_set():
@@ -471,6 +503,7 @@ def main():
     # per-rep walls and steal evidence are in extras)
     total = round(sum(times.values()), 3)
     extras.update(ann_recall(spark))
+    extras.update(gorilla_bulk_throughput(spark))
     spark.stop()
 
     scaling = {}

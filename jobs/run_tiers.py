@@ -116,6 +116,10 @@ def main(argv=None) -> dict:
             # distinct scan — a SECOND full pass over the generated
             # docs that doubled the job's compute
             group_dim=source_dim,
+            # likewise the hour span and source count are known by
+            # construction: lets the sweep's bucket planner skip its
+            # stats action (another full pass otherwise)
+            carry_hints={"span": (0, 365 * 24 + 64), "groups": 11},
         )
         total_rows += sum(counts.values())
     if args.compact:

@@ -319,3 +319,64 @@ def test_grouped_cartesian_rename_dodges_own_columns(spark):
     assert sorted(out.columns) == ["g", "i_i_v", "i_v", "v"]
     row = out.collect()[0]
     assert (row["v"], row["i_i_v"], row["i_v"]) == (10.0, 20.0, 30.0)
+
+
+def test_sessionize_semantics_and_bucket_boundaries(spark):
+    from pyspark.sql import Window
+    from timeperiods_spark import sessionize
+
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 100), ("u1", 105), ("u1", 400),
+        ("u2", 50),
+    ]
+    df = spark.createDataFrame(rows, "u string, t int")
+    got = {
+        (r["u"], r["t"]): r["session_id"]
+        for r in sessionize(df, "t", 30, ["u"]).collect()
+    }
+    assert got == {
+        ("u1", 0): 1, ("u1", 10): 1,      # within gap
+        ("u1", 100): 2, ("u1", 105): 2,   # 90 > 30 -> new session
+        ("u1", 400): 3,
+        ("u2", 50): 1,
+    }
+    # bucketed result == plain-window result on a bigger random stream
+    big = spark.range(5000).selectExpr(
+        "CAST(id % 7 AS STRING) AS u",
+        "CAST((id * 2654435761) % 100000 AS INT) AS t",
+    ).dropDuplicates(["u", "t"])
+    bucketed = {
+        (r["u"], r["t"]): r["session_id"]
+        for r in sessionize(big, "t", 40, ["u"]).collect()
+    }
+    w = Window.partitionBy("u").orderBy("t")
+    import pyspark.sql.functions as F
+
+    flag = F.when(
+        F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) > 40), 1
+    ).otherwise(0)
+    plain = {
+        (r["u"], r["t"]): r["sid"]
+        for r in big.withColumn("f", flag)
+        .withColumn(
+            "sid",
+            F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .collect()
+    }
+    assert bucketed == plain
+
+
+def test_sessionize_null_ts_and_collision(spark):
+    import pytest as _pytest
+
+    from timeperiods_spark import sessionize
+    from timeperiods_spark.errors import RoleValidationError
+
+    df = spark.createDataFrame(
+        [("u", 1), ("u", None), ("u", 2)], "u string, t int"
+    )
+    got = {r["t"]: r["session_id"] for r in sessionize(df, "t", 10, ["u"]).collect()}
+    assert got[1] == 1 and got[2] == 1 and got[None] is None
+    with _pytest.raises(RoleValidationError):
+        sessionize(df.withColumn("session_id", df["t"]), "t", 10, ["u"])

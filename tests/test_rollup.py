@@ -335,3 +335,58 @@ def test_group_dim_supplied_matches_and_guards(spark, tok):
                 partial=True, group_encoders=enc, group_dim=bad_dim,
                 algorithm=algorithm,
             ).collect()
+
+
+def test_gap_fill_interpolate_linear_and_boundaries(spark):
+    """Linear interpolation between neighbors; NULL outside the
+    observed range; observed periods keep their own value."""
+    import pandas as pd
+
+    from timeperiods_spark.operators.rollup import gap_fill_interpolate
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 3 + ["b"] * 2,
+            "period": [2, 5, 8, 3, 4],
+            "start": [2, 5, 8, 3, 4],
+            "end": [2, 5, 8, 3, 4],
+            "v": [10.0, 40.0, 10.0, 7.0, None],
+            "xduration": [1, 1, 1, 1, 0],
+        }
+    )
+    out = gap_fill_interpolate(
+        spark.createDataFrame(pdf), ["v"], ["g"], width=1, span=(0, 9)
+    )
+    rows = {(r["g"], r["period"]): r["v_interp"] for r in out.collect()}
+    assert rows[("a", 2)] == 10.0 and rows[("a", 5)] == 40.0
+    assert rows[("a", 3)] == 20.0 and rows[("a", 4)] == 30.0  # rising leg
+    assert rows[("a", 6)] == 30.0 and rows[("a", 7)] == 20.0  # falling leg
+    assert rows[("a", 0)] is None and rows[("a", 9)] is None  # no extrapolation
+    assert rows[("b", 3)] == 7.0
+    assert rows[("b", 2)] is None and rows[("b", 5)] is None
+    assert rows[("b", 4)] is None  # single observation: no second anchor
+
+
+def test_gap_fill_interpolate_crosses_buckets(spark):
+    """Interpolation across a long gap spanning many carry buckets."""
+    import pandas as pd
+
+    from timeperiods_spark.operators.rollup import gap_fill_interpolate
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["s"] * 2,
+            "period": [0, 1000],
+            "start": [0, 1000],
+            "end": [0, 1000],
+            "v": [0.0, 1000.0],
+            "xduration": [1, 1],
+        }
+    )
+    out = gap_fill_interpolate(
+        spark.createDataFrame(pdf), ["v"], ["g"], width=1, span=(0, 1000)
+    )
+    rows = {r["period"]: r["v_interp"] for r in out.collect()}
+    assert len(rows) == 1001
+    for p in (1, 250, 499, 500, 750, 999):
+        assert rows[p] == float(p), (p, rows[p])

@@ -18,6 +18,7 @@ from .errors import (
 from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
+from .operators.sessions import sessionize
 from .operators.dedup import (
     build_minhash_index,
     connected_components,
@@ -40,6 +41,7 @@ from .operators.similarity import (
 from .operators.rollup import (
     cascade,
     finalize_rollup,
+    gap_fill_interpolate,
     gap_fill_locf,
     merge_partials,
     period_scaffold,
@@ -66,6 +68,8 @@ __all__ = [
     "merge_partials",
     "cascade",
     "gap_fill_locf",
+    "gap_fill_interpolate",
+    "sessionize",
     "period_scaffold",
     "compress_series",
     "decompress_series",

@@ -62,40 +62,66 @@ def plan_buckets(
     *,
     n_buckets: Optional[int] = None,
     group_count_hint: Optional[int] = None,
+    bounds_hint: Optional[tuple] = None,
     carry_cap_rows: int = CARRY_CAP_ROWS,
 ) -> CarryPlan:
     """Decide bucketing for a running scan ordered by ``t_col``.
 
-    One eager action (min/max/approx-distinct-groups in a single agg).
-    ``empty=True`` means no rows or every ``t_col`` NULL — callers
-    handle that case themselves (schemas differ per operator).
+    Needs the t-range (for the bucket width) and the group cardinality
+    (for the guard). When the caller supplies both as hints, NO eager
+    action runs — important on hot paths where this frame is the
+    unmaterialized output of a full source scan (a stats job there is
+    a second full pass; measured +67% on the tier sweep). Otherwise
+    one agg action computes exactly the missing stats. Hints need not
+    be precise: any (lo, hi) roughly covering the data yields correct
+    (deterministic, merely less balanced) buckets, and the group count
+    only steers the bucket-vs-plain-window choice.
+
+    ``empty=True`` means no rows or every ``t_col`` NULL — only
+    detected when bounds are computed here; callers with bounds hints
+    flow through the bucketed path, which is also correct on empty
+    frames (the carry frame is just empty).
     """
     gcols = list(gcols)
     spark = df.sparkSession
-    aggs = [F.min(t_col).alias("__lo"), F.max(t_col).alias("__hi")]
-    if gcols and group_count_hint is None:
-        # struct(): approx_count_distinct over bare NULL-able columns
-        # drops NULL-key rows; a struct row is never NULL
-        aggs.append(
-            F.approx_count_distinct(F.struct(*gcols)).alias("__ng")
-        )
-    row = df.agg(*aggs).first()
-    if row is None or row["__lo"] is None:
-        # empty (or all-NULL t): keep the __bk column so call sites can
-        # fall through the unbucketed path without special-casing
-        return CarryPlan(
-            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, True, 1
-        )
-    lo, hi = int(row["__lo"]), int(row["__hi"])
-    est_groups = (
-        int(group_count_hint)
-        if group_count_hint is not None
-        else (int(row["__ng"]) if gcols else 0)
-    )
     par = spark.sparkContext.defaultParallelism
-    if gcols and est_groups >= GUARD_FACTOR * par:
+    guard = GUARD_FACTOR * par
+    if gcols and group_count_hint is not None and int(group_count_hint) >= guard:
         # many groups: per-group windows are already parallel, and a
-        # groups x buckets carry frame would be broadcast poison
+        # groups x buckets carry frame would be broadcast poison —
+        # decidable from the hint alone, no action
+        return CarryPlan(
+            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
+        )
+    need_bounds = bounds_hint is None
+    need_groups = bool(gcols) and group_count_hint is None
+    lo = hi = None
+    est_groups = 0 if not gcols else group_count_hint
+    if need_bounds or need_groups:
+        aggs = []
+        if need_bounds:
+            aggs += [F.min(t_col).alias("__lo"), F.max(t_col).alias("__hi")]
+        else:
+            aggs += [F.count(F.lit(1)).alias("__n")]
+        if need_groups:
+            # struct(): approx_count_distinct over bare NULL-able
+            # columns drops NULL-key rows; a struct row is never NULL
+            aggs.append(F.approx_count_distinct(F.struct(*gcols)).alias("__ng"))
+        row = df.agg(*aggs).first()
+        if row is None or (need_bounds and row["__lo"] is None) or (
+            not need_bounds and row["__n"] == 0
+        ):
+            return CarryPlan(
+                df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, True, 1
+            )
+        if need_bounds:
+            lo, hi = int(row["__lo"]), int(row["__hi"])
+        if need_groups:
+            est_groups = int(row["__ng"])
+    if lo is None:
+        lo, hi = int(bounds_hint[0]), int(bounds_hint[1])
+    est_groups = int(est_groups or 0)
+    if gcols and est_groups >= guard:
         return CarryPlan(
             df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
         )
@@ -113,6 +139,7 @@ def attach_carry(
     plan: CarryPlan,
     bucket_aggs: Sequence[Column],
     carry_over: Callable[[WindowSpec], Sequence[Column]],
+    df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Attach per-bucket carry columns to ``plan.df``.
 
@@ -131,9 +158,16 @@ def attach_carry(
     window at the call site is then exactly the per-group window and
     coalescing with NULL carries is the identity. Same call-site code,
     no broadcast.
+
+    ``df`` overrides the frame to aggregate/attach (must carry the
+    plan's ``__bk`` column and group keys) — for multi-stage scans
+    where a later carry aggregates columns derived after an earlier
+    attach (e.g. sessionize: stage 1 carries the previous timestamp,
+    stage 2 prefix-sums the session-start flags computed from it).
     """
     gcols = plan.gcols
-    bdf = plan.df.groupBy(*gcols, "__bk").agg(*bucket_aggs)
+    src = plan.df if df is None else df
+    bdf = src.groupBy(*gcols, "__bk").agg(*bucket_aggs)
     wg = (
         Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
     ).orderBy("__bk")
@@ -150,7 +184,7 @@ def attach_carry(
     if not plan.bucketed:
         # typed NULLs, types read off the (never-executed) carry plan
         types = {f.name: f.dataType for f in carry_frame.schema.fields}
-        out = plan.df
+        out = src
         for name in carry_names:
             out = out.withColumn(name, F.lit(None).cast(types[name]))
         return out
@@ -158,6 +192,6 @@ def attach_carry(
     for g in gcols:
         cond = cond & F.col(g).eqNullSafe(F.col(f"__h_{g}"))
     return (
-        plan.df.join(F.broadcast(carry_frame), cond, "left")
+        src.join(F.broadcast(carry_frame), cond, "left")
         .drop("__hbk", *[f"__h_{g}" for g in gcols])
     )

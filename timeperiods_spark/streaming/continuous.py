@@ -39,6 +39,7 @@ def ingest_batch(
     validate: bool = True,
     parallel_cascades: bool = True,
     group_dim=None,
+    carry_hints: Optional[dict] = None,
 ) -> dict[str, int]:
     """Roll one batch into every tier of the catalog.
 
@@ -91,6 +92,8 @@ def ingest_batch(
         # a caller-known group domain kills the decode dim's second
         # full scan of the source (see rollup_regular)
         group_dim=group_dim,
+        # ditto for the sweep's bucket stats (span/groups hints)
+        carry_hints=carry_hints,
     )
     # Write-tail overlap: materialize the base partials ONCE (the only
     # pass over raw data), then the base tier's parquet write and every
