@@ -807,6 +807,146 @@ FROM flagged
 """
 
 
+#: non-leap calendar months as day offsets/lengths — the irregular
+#: schedule the regular-grid tiers cannot express
+_MONTH_CUM = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+_MONTH_LEN = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def q_iwa_monthly(spark, sf_dir):
+    """Calendar-month tier over the token table via the GENERAL
+    interval_weighted_avg path: months are irregular (28-31 days), so
+    rollup_regular can't express them — this is the pattern for
+    arbitrary calendars at scale (tiny broadcast-able y schedule
+    against the huge measurement table)."""
+    t = token_table(spark, N_TOKEN_DOCS)
+    x = t.select(
+        "source",
+        F.col("start_hour").alias("s"),
+        F.col("end_hour").alias("e"),
+        F.col("n_tok").cast("double").alias("v"),
+    )
+    months = spark.createDataFrame(
+        [
+            (c * 24, (c + l) * 24 - 1)
+            for c, l in zip(_MONTH_CUM, _MONTH_LEN)
+        ],
+        "s int, e int",
+    )
+    y = spark.range(11).selectExpr("concat('src_', id) AS source").crossJoin(months)
+    # doc intervals within a source overlap freely — the reference's
+    # skip_overlap_check escape hatch (timeperiod_functions.R:213-220)
+    # is exactly for duration-weighted means over overlapping inputs;
+    # validate=False additionally skips the x-duplicate scan (docs can
+    # legitimately share an interval here)
+    out = interval_weighted_avg(
+        x, y, ("s", "e"), ("v",), ("source",), 0.0,
+        skip_overlap_check=True, validate=False,
+        join_strategy="broadcast_y", assume_y_distinct=True,
+    )
+    return out.select(
+        "source",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.round("v", _R).alias("v"),
+        F.col("xduration").cast("long").alias("xduration"),
+        F.col("nobs_v").cast("long").alias("nobs_v"),
+    )
+
+
+_MONTHS_SQL = ", ".join(
+    f"({c * 24}, {(c + l) * 24 - 1})" for c, l in zip(_MONTH_CUM, _MONTH_LEN)
+)
+
+SQL_IWA_MONTHLY = f"""
+WITH tok AS ({{tok}}),
+months(ms, me) AS (VALUES {_MONTHS_SQL}),
+y AS (
+  SELECT concat('src_', r.range) AS source, ms, me
+  FROM range(11) r CROSS JOIN months
+),
+j AS (
+  SELECT y.source, y.ms, y.me,
+         CASE WHEN t.start_hour IS NULL THEN NULL
+              ELSE GREATEST(t.start_hour, y.ms) END AS cs,
+         CASE WHEN t.end_hour IS NULL THEN NULL
+              ELSE LEAST(t.end_hour, y.me) END AS ce,
+         CAST(t.n_tok AS DOUBLE) AS v
+  FROM y LEFT JOIN tok t
+    ON t.source = y.source AND t.start_hour <= y.me AND t.end_hour >= y.ms
+),
+a AS (
+  SELECT source, ms, me,
+         COALESCE(SUM(ce - cs + 1), 0) AS xdur,
+         COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ce - cs + 1 END), 0) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod
+  FROM j GROUP BY source, ms, me
+)
+SELECT source, CAST(ms AS BIGINT) AS s, CAST(me AS BIGINT) AS e,
+       ROUND(CASE WHEN nobs = 0 THEN NULL ELSE sumprod/nobs END, 6) AS v,
+       CAST(xdur AS BIGINT) AS xduration,
+       CAST(nobs AS BIGINT) AS nobs_v
+FROM a
+"""
+SQL_IWA_MONTHLY = SQL_IWA_MONTHLY.format(tok=token_table_oracle_sql(N_TOKEN_DOCS))
+
+
+def q_downsample_m4(spark, sf_dir):
+    """M4 min/max downsampling (Jugel et al., VLDB 2014): first/last/
+    min/max per 32-day bucket of the daily token series — at most 4
+    original points per bucket, one hash aggregate, no window."""
+    from timeperiods_spark.operators.downsample import downsample_m4
+
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        width=24, required_percentage=0.0,
+    # round the anchors exactly as the oracle's daily CTE does — the
+    # min/max PICKS compare values, so both engines must compare the
+    # same rounded numbers
+    ).withColumn("n_tok", F.round("n_tok", 6))
+    out = downsample_m4(daily, "period", "n_tok", ["source"], bucket_width=32)
+    return out.select(
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("period").cast("long").alias("period"),
+        F.round("value", _R).alias("value"),
+    )
+
+
+SQL_DOWNSAMPLE_M4 = f"""
+WITH daily AS ({{daily}}),
+b AS (
+  SELECT source, CAST(FLOOR(period / 32) AS BIGINT) AS bucket,
+         period, n_tok AS value
+  FROM daily WHERE n_tok IS NOT NULL
+),
+stats AS (
+  SELECT source, bucket, MIN(period) AS p_first, MAX(period) AS p_last,
+         MIN(value) AS v_min, MAX(value) AS v_max
+  FROM b GROUP BY source, bucket
+),
+picks AS (
+  SELECT s.source, s.bucket, s.p_first, s.p_last,
+         MIN(CASE WHEN b.value = s.v_min THEN b.period END) AS p_vmin,
+         MIN(CASE WHEN b.value = s.v_max THEN b.period END) AS p_vmax
+  FROM stats s JOIN b ON b.source = s.source AND b.bucket = s.bucket
+  GROUP BY s.source, s.bucket, s.p_first, s.p_last
+),
+pts AS (
+  SELECT source, bucket, p_first AS period FROM picks
+  UNION SELECT source, bucket, p_last FROM picks
+  UNION SELECT source, bucket, p_vmin FROM picks
+  UNION SELECT source, bucket, p_vmax FROM picks
+)
+SELECT p.source, p.bucket, CAST(p.period AS BIGINT) AS period,
+       ROUND(b.value, 6) AS value
+FROM pts p JOIN b ON b.source = p.source AND b.bucket = p.bucket
+                 AND b.period = p.period
+"""
+SQL_DOWNSAMPLE_M4 = SQL_DOWNSAMPLE_M4.format(daily=_token_rollup_sql(24))
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Compression round-trip audit (non-SQL-expressible: bit-packed
     binary codec → rows-only driver check). n_mismatch must be 0."""
@@ -1024,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_weekly_cascade": q_rollup_weekly_cascade,
         "gap_fill_locf_daily": q_gap_fill_locf,
         "gap_fill_interp_daily": q_gap_fill_interp,
+        "iwa_monthly_schedule": q_iwa_monthly,
+        "downsample_m4_daily": q_downsample_m4,
         "sessionize_events": q_sessionize,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "running_max_events": q_running_max,
@@ -1048,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_weekly_cascade": _token_rollup_sql(168),
         "gap_fill_locf_daily": SQL_GAP_FILL,
         "gap_fill_interp_daily": SQL_GAP_FILL_INTERP,
+        "iwa_monthly_schedule": SQL_IWA_MONTHLY,
+        "downsample_m4_daily": SQL_DOWNSAMPLE_M4,
         "sessionize_events": SQL_SESSIONIZE,
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
         "running_max_events": SQL_RUNNING_MAX,

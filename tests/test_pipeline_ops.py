@@ -380,3 +380,21 @@ def test_sessionize_null_ts_and_collision(spark):
     assert got[1] == 1 and got[2] == 1 and got[None] is None
     with _pytest.raises(RoleValidationError):
         sessionize(df.withColumn("session_id", df["t"]), "t", 10, ["u"])
+
+
+def test_downsample_m4_picks_and_dedup(spark):
+    from timeperiods_spark import downsample_m4
+
+    rows = [
+        # bucket 0 (periods 0-9): first=0, last=9, vmin at 3, vmax tie
+        # at 2 and 7 -> earliest (2) wins
+        ("g", 0, 5.0), ("g", 2, 9.0), ("g", 3, 1.0), ("g", 7, 9.0), ("g", 9, 4.0),
+        # bucket 1: single point -> all four picks coincide -> 1 row
+        ("g", 12, 2.0),
+        # NULL values ignored
+        ("g", 14, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, p int, v double")
+    out = downsample_m4(df, "p", "v", ["g"], bucket_width=10)
+    got = sorted((r["bucket"], r["period"], r["value"]) for r in out.collect())
+    assert got == [(0, 0, 5.0), (0, 2, 9.0), (0, 3, 1.0), (0, 9, 4.0), (1, 12, 2.0)]

@@ -18,6 +18,7 @@ from .errors import (
 from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
+from .operators.downsample import downsample_m4
 from .operators.sessions import sessionize
 from .operators.dedup import (
     build_minhash_index,
@@ -70,6 +71,7 @@ __all__ = [
     "gap_fill_locf",
     "gap_fill_interpolate",
     "sessionize",
+    "downsample_m4",
     "period_scaffold",
     "compress_series",
     "decompress_series",
