@@ -1078,6 +1078,95 @@ FROM q ASOF LEFT JOIN obs o ON q.g = o.og AND q.t >= o.ot
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (earliest observation at or after each query
+    time) — DuckDB ASOF only supports the backward inequality, so the
+    twin negates both time axes, which is also exactly how the Spark
+    side reduces forward to its backward carry (one pass)."""
+    from timeperiods_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        F.col("event_id").alias("t"),
+        F.col("value").alias("v"),
+    )
+    q = obs.select("g").distinct().crossJoin(
+        spark.range(200).select((F.col("id") * 37).cast("long").alias("t"))
+    )
+    out = asof_join(q, obs, "t", ["v"], ["g"], direction="forward")
+    return out.select(
+        "g",
+        F.col("t").cast("long").alias("t"),
+        F.round("v", _R).alias("v"),
+        F.col("asof_t").cast("long").alias("asof_t"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+WITH obs AS (
+  SELECT CAST(user_id % 7 AS INT) AS og, -event_id AS ot, value AS v FROM events
+),
+q AS (
+  SELECT g, CAST(37*p AS BIGINT) AS t
+  FROM (SELECT DISTINCT CAST(user_id % 7 AS INT) AS g FROM events)
+  CROSS JOIN (SELECT range AS p FROM range(200))
+)
+SELECT q.g, q.t, ROUND(o.v, 6) AS v, -o.ot AS asof_t
+FROM q ASOF LEFT JOIN obs o ON q.g = o.og AND -q.t >= o.ot
+"""
+
+
+def q_rolling_7d(spark, sf_dir):
+    """Trailing 7-day rolling statistics over the daily token series —
+    the fan-out + hash-agg formulation (no RANGE window, no per-group
+    task ceiling) must equal the oracle's RANGE window exactly."""
+    from timeperiods_spark.operators.rolling import rolling_window_agg
+
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        width=24, required_percentage=0.0,
+    ).select(
+        "source", "period",
+        # same anchor-rounding parity as the other derived queries
+        F.round("n_tok", 6).alias("value"),
+    )
+    out = rolling_window_agg(daily, "period", "value", ["source"], k=7)
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round("value", _R).alias("value"),
+        F.round("roll_sum", _R).alias("roll_sum"),
+        F.col("roll_count").cast("long").alias("roll_count"),
+        # mean re-derived from the 6dp-rounded sum on BOTH engines: the
+        # raw sums differ in low bits by summation order, and a
+        # division of near-.5-boundary floats flips the 6th decimal
+        F.round(F.round("roll_sum", _R) / F.col("roll_count"), _R).alias(
+            "roll_mean"
+        ),
+        F.round("roll_min", _R).alias("roll_min"),
+        F.round("roll_max", _R).alias("roll_max"),
+    )
+
+
+SQL_ROLLING_7D = f"""
+WITH daily AS ({_token_rollup_sql(24)}),
+s AS (SELECT source, period, n_tok AS value FROM daily)
+SELECT source, CAST(period AS BIGINT) AS period,
+       ROUND(value, 6) AS value,
+       ROUND(SUM(value) OVER w, 6) AS roll_sum,
+       CAST(COUNT(value) OVER w AS BIGINT) AS roll_count,
+       ROUND(ROUND(SUM(value) OVER w, 6) / COUNT(value) OVER w, 6)
+         AS roll_mean,
+       ROUND(MIN(value) OVER w, 6) AS roll_min,
+       ROUND(MAX(value) OVER w, 6) AS roll_max
+FROM s
+WINDOW w AS (PARTITION BY source ORDER BY period
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 N_MEDIA = 200
 
 
@@ -1170,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "running_max_events": q_running_max,
         "asof_events": q_asof_events,
+        "asof_events_forward": q_asof_forward,
+        "rolling_7d_stats": q_rolling_7d,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -1196,6 +1287,8 @@ def oracle_sql() -> dict[str, str]:
         # gorilla_roundtrip: bit-packed binary codec, not SQL-expressible
         "running_max_events": SQL_RUNNING_MAX,
         "asof_events": SQL_ASOF_EVENTS,
+        "asof_events_forward": SQL_ASOF_FORWARD,
+        "rolling_7d_stats": SQL_ROLLING_7D,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

@@ -133,3 +133,51 @@ def test_asof_null_values_atomic_across_bucket_boundary(spark):
     assert vals[400] == (None, 400)
     assert vals[899] == (None, 400)
     assert vals[950] == (3.0, 900)
+
+
+def test_asof_forward_and_nearest(spark):
+    obs = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 40, 4.0)], "g string, t int, v double"
+    )
+    q = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 16), ("a", 29), ("a", 50)], "g string, t int"
+    )
+    fwd = {
+        r["t"]: (r["v"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v"], ["g"], direction="forward").collect()
+    }
+    assert fwd[5] == (1.0, 10)
+    assert fwd[10] == (1.0, 10)  # observation AT query time matches
+    assert fwd[16] == (2.0, 20)
+    assert fwd[29] == (4.0, 40)
+    assert fwd[50] == (None, None)  # nothing at or after
+
+    near = {
+        r["t"]: (r["v"], r["asof_t"])
+        for r in asof_join(q, obs, "t", ["v"], ["g"], direction="nearest").collect()
+    }
+    assert near[5] == (1.0, 10)     # only forward exists
+    assert near[10] == (1.0, 10)
+    assert near[16] == (2.0, 20)    # 4 ahead beats 6 behind
+    assert near[29] == (2.0, 20)    # tie at distance 9+... 29-20=9 vs 40-29=11 -> backward
+    assert near[50] == (4.0, 40)    # only backward exists
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    obs = spark.createDataFrame([("a", 10, 1.0), ("a", 20, 2.0)], "g string, t int, v double")
+    q = spark.createDataFrame([("a", 15)], "g string, t int")
+    r = asof_join(q, obs, "t", ["v"], ["g"], direction="nearest").collect()[0]
+    assert (r["v"], r["asof_t"]) == (1.0, 10)
+
+
+def test_asof_forward_tolerance(spark):
+    obs = spark.createDataFrame([("a", 100, 1.0)], "g string, t int, v double")
+    q = spark.createDataFrame([("a", 95), ("a", 50)], "g string, t int")
+    rows = {
+        r["t"]: (r["v"], r["asof_t"])
+        for r in asof_join(
+            q, obs, "t", ["v"], ["g"], direction="forward", tolerance=10
+        ).collect()
+    }
+    assert rows[95] == (1.0, 100)
+    assert rows[50] == (None, None)  # 50 units ahead > tolerance

@@ -398,3 +398,35 @@ def test_downsample_m4_picks_and_dedup(spark):
     out = downsample_m4(df, "p", "v", ["g"], bucket_width=10)
     got = sorted((r["bucket"], r["period"], r["value"]) for r in out.collect())
     assert got == [(0, 0, 5.0), (0, 2, 9.0), (0, 3, 1.0), (0, 9, 4.0), (1, 12, 2.0)]
+
+
+def test_rolling_window_agg_matches_range_window(spark):
+    """Fan-out + hash-agg formulation == the RANGE-window formulation
+    on a sparse series with NULL values and ties."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from timeperiods_spark import rolling_window_agg
+
+    rows = [("a", 1, 10.0), ("a", 2, None), ("a", 5, 50.0), ("a", 6, 60.0),
+            ("a", 6, 61.0), ("b", 3, 3.0)]
+    df = spark.createDataFrame(rows, "g string, p int, v double")
+    out = rolling_window_agg(df, "p", "v", ["g"], k=3)
+    got = {
+        (r["g"], r["p"], r["v"]): (r["roll_sum"], r["roll_count"], r["roll_mean"],
+                                    r["roll_min"], r["roll_max"])
+        for r in out.collect()
+    }
+    w = Window.partitionBy("g").orderBy("p").rangeBetween(-2, 0)
+    want = {
+        (r["g"], r["p"], r["v"]): (r["s"], r["c"], r["m"], r["mn"], r["mx"])
+        for r in df.select(
+            "g", "p", "v",
+            F.sum("v").over(w).alias("s"),
+            F.count("v").over(w).cast("long").alias("c"),
+            F.avg("v").over(w).alias("m"),
+            F.min("v").over(w).alias("mn"),
+            F.max("v").over(w).alias("mx"),
+        ).collect()
+    }
+    assert got == want

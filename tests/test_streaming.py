@@ -175,3 +175,51 @@ def test_stateful_locf_stream_carries_state_across_batches(spark, tmp_path):
     assert got[("a", 4)] == (13.0, True) and got[("a", 5)] == (13.0, True)
     assert got[("a", 6)] == (16.0, False)
     assert got[("b", 5)] == (50.0, False) and len(got) == 8
+
+
+def test_sessionized_rollup_stream_matches_batch(spark, tmp_path):
+    """Native session_window stream == the same session aggregation in
+    batch, compared on watermark-closed sessions."""
+    from timeperiods_spark.streaming.stream_ingest import (
+        sessionized_rollup_stream,
+    )
+
+    src = str(tmp_path / "sev")
+    # three bursts per group separated by > gap
+    rows = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") / 3).cast("long") * 7          # 7s cadence
+            + ((F.col("id") / 100).cast("long") * 7200)   # 2h burst gaps
+        ).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    )
+    rows.write.parquet(src)
+
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    agg = sessionized_rollup_stream(stream, "ts", "v", ["g"], gap="10 minutes")
+    out_path = str(tmp_path / "sout")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["g"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got  # at least the watermark-closed sessions emitted
+
+    batch = (
+        rows.groupBy("g", F.session_window("ts", "10 minutes").alias("win"))
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .select("g", F.col("win.start").alias("ss"), "n", "s")
+    )
+    want = {(r["g"], r["ss"]): (r["n"], r["s"]) for r in batch.collect()}
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want.get(k))

@@ -19,6 +19,7 @@ from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
 from .operators.downsample import downsample_m4
+from .operators.rolling import rolling_window_agg
 from .operators.sessions import sessionize
 from .operators.dedup import (
     build_minhash_index,
@@ -72,6 +73,7 @@ __all__ = [
     "gap_fill_interpolate",
     "sessionize",
     "downsample_m4",
+    "rolling_window_agg",
     "period_scaffold",
     "compress_series",
     "decompress_series",

@@ -49,13 +49,28 @@ def asof_join(
     tolerance: Optional[int] = None,
     n_buckets: Optional[int] = None,
     cache: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each query row, attach the latest observation value(s) with
-    ``obs.on <= query.on`` (and ``query.on - obs.on <= tolerance`` when
-    given) in the same group. Unmatched queries keep NULL values.
+    """For each query row, attach the matched observation value(s) in
+    the same group. Unmatched queries keep NULL values.
+
+    ``direction`` (pandas merge_asof's vocabulary):
+
+    - ``"backward"`` (default): latest observation with
+      ``obs.on <= query.on``; ``tolerance`` masks matches older than
+      ``query.on - tolerance``.
+    - ``"forward"``: earliest observation with ``obs.on >= query.on``
+      (implemented as the backward scan over negated times — one pass,
+      same plan shape); ``tolerance`` masks matches beyond
+      ``query.on + tolerance``.
+    - ``"nearest"``: whichever of the two is closer in time, ties going
+      to the backward (earlier) observation; costs both passes. An
+      observation AT the query time matches in every direction (closed
+      semantics).
 
     Output: all query columns + ``value_vars…`` + ``asof_<on>`` (the
-    matched observation time, NULL when unmatched).
+    matched observation time, NULL when unmatched). ``on`` is returned
+    as a long (grid units) in all directions.
 
     ``cache=True`` persists the unioned stream (it feeds the bucket
     bounds action plus two plan subtrees); long-lived sessions issuing
@@ -66,6 +81,52 @@ def asof_join(
     value_vars = list(value_vars)
     if not value_vars:
         raise RoleValidationError("value_vars must name at least one column")
+    if direction not in ("backward", "forward", "nearest"):
+        raise RoleValidationError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
+    if direction == "forward":
+        neg_q = queries.withColumn(on, -F.col(on).cast("long"))
+        neg_o = observations.withColumn(on, -F.col(on).cast("long"))
+        out = asof_join(
+            neg_q, neg_o, on, value_vars, group_vars,
+            tolerance=tolerance, n_buckets=n_buckets, cache=cache,
+        )
+        return out.withColumn(on, -F.col(on)).withColumn(
+            f"asof_{on}", -F.col(f"asof_{on}")
+        )
+    if direction == "nearest":
+        # backward pass first; its outputs ride through the forward
+        # pass as ordinary query payload, then the closer match wins
+        bwd = asof_join(
+            queries, observations, on, value_vars, group_vars,
+            tolerance=tolerance, n_buckets=n_buckets, cache=cache,
+        )
+        renames = {v: f"__bwd_{v}" for v in value_vars}
+        renames[f"asof_{on}"] = "__bwd_t"
+        for old, new in renames.items():
+            bwd = bwd.withColumnRenamed(old, new)
+        fwd = asof_join(
+            bwd, observations, on, value_vars, group_vars,
+            tolerance=tolerance, n_buckets=n_buckets, cache=cache,
+            direction="forward",
+        )
+        t = F.col(on).cast("long")
+        d_b = t - F.col("__bwd_t")
+        d_f = F.col(f"asof_{on}") - t
+        use_b = F.col("__bwd_t").isNotNull() & (
+            F.col(f"asof_{on}").isNull() | (d_b <= d_f)
+        )
+        out = fwd
+        for v in value_vars:
+            out = out.withColumn(
+                v, F.when(use_b, F.col(f"__bwd_{v}")).otherwise(F.col(v))
+            )
+        out = out.withColumn(
+            f"asof_{on}",
+            F.when(use_b, F.col("__bwd_t")).otherwise(F.col(f"asof_{on}")),
+        )
+        return out.drop("__bwd_t", *[f"__bwd_{v}" for v in value_vars])
     for name, df, need in (
         ("queries", queries, group_vars + [on]),
         ("observations", observations, group_vars + [on] + value_vars),

@@ -190,3 +190,40 @@ def stateful_locf_stream(
     return events.groupBy(*group_cols).applyInPandasWithState(
         fill, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def sessionized_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window rollup of a point-event stream —
+    Spark's native ``session_window`` (dynamic, gap-merged windows in
+    the state store), the streaming counterpart of the batch row-level
+    ``operators.sessions.sessionize``. Append-mode-ready: a session
+    closes (and emits) once the watermark passes its end + gap. Use the
+    batch operator when every ROW needs its session ordinal; use this
+    when you need per-session aggregates continuously."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.session_window(ts_col, gap).alias("win"))
+        .agg(
+            F.count(value_col).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            *group_cols,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "first_ts",
+            "last_ts",
+        )
+    )
