@@ -1167,6 +1167,63 @@ WINDOW w AS (PARTITION BY source ORDER BY period
 """
 
 
+def q_tier_variance(spark, sf_dir):
+    """Exact time-weighted variance at the daily tier from ADDITIVE
+    second-moment partials (sumsq) — cascade-exact like every other
+    partial, so variance is available at any tier without rescanning
+    raw data. Values rounded to 4dp: var = E[x^2]-E[x]^2 cancels ~10
+    digits at these magnitudes, and the two engines' summation orders
+    differ in the low bits."""
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        width=24, required_percentage=0.0, partial=True, extra_stats=True,
+    )
+    from timeperiods_spark.operators.rollup import finalize_rollup
+
+    out = finalize_rollup(
+        daily, ("n_tok",), ("source",), width=24, required_percentage=0.0
+    )
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round("n_tok", 4).alias("n_tok"),
+        F.round("n_tok_var", 4).alias("n_tok_var"),
+        F.col("xduration").cast("long").alias("xduration"),
+    )
+
+
+SQL_TIER_VARIANCE = f"""
+WITH tok AS ({{tok}}),
+p AS (
+  SELECT range AS period, CAST(24*range AS BIGINT) AS ps,
+         CAST(24*range + 23 AS BIGINT) AS pe
+  FROM range(CAST(CEIL(8784.0 / 24) AS BIGINT))
+),
+j AS (
+  SELECT t.source, p.period,
+         GREATEST(t.start_hour, p.ps) AS cs, LEAST(t.end_hour, p.pe) AS ce,
+         CAST(t.n_tok AS DOUBLE) AS v
+  FROM tok t JOIN p ON t.start_hour <= p.pe AND t.end_hour >= p.ps
+),
+a AS (
+  SELECT source, CAST(period AS BIGINT) AS period,
+         SUM(ce - cs + 1) AS nobs,
+         SUM(v * (ce - cs + 1)) AS sumprod,
+         SUM(v * v * (ce - cs + 1)) AS sumsq,
+         SUM(ce - cs + 1) AS xdur
+  FROM j GROUP BY source, period
+)
+SELECT source, period,
+       ROUND(sumprod / nobs, 4) AS n_tok,
+       ROUND(sumsq / nobs - (sumprod / nobs) * (sumprod / nobs), 4)
+         AS n_tok_var,
+       CAST(xdur AS BIGINT) AS xduration
+FROM a
+"""
+SQL_TIER_VARIANCE = SQL_TIER_VARIANCE.format(tok=token_table_oracle_sql(N_TOKEN_DOCS))
+
+
 N_MEDIA = 200
 
 
@@ -1261,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "asof_events_forward": q_asof_forward,
         "rolling_7d_stats": q_rolling_7d,
+        "tier_variance_daily": q_tier_variance,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -1289,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": SQL_ASOF_EVENTS,
         "asof_events_forward": SQL_ASOF_FORWARD,
         "rolling_7d_stats": SQL_ROLLING_7D,
+        "tier_variance_daily": SQL_TIER_VARIANCE,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

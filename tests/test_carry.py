@@ -98,3 +98,33 @@ def test_empty_frame_flows_through(spark):
     plan = plan_buckets(df, ["g"], "t")
     assert plan.empty and "__bk" in plan.df.columns
     assert running_max(df, "v", ["t"], ["g"]).count() == 0
+
+
+def test_asof_many_groups_no_carry_broadcast(spark):
+    """With groups >= 4x parallelism the as-of carry must use plain
+    per-group windows — no carry-frame broadcast in the plan."""
+    from timeperiods_spark import asof_join
+
+    obs = spark.range(2000).selectExpr(
+        "CAST(id % 400 AS STRING) AS g", "CAST(id AS INT) AS t",
+        "CAST(id AS DOUBLE) AS v")
+    q = spark.range(1000).selectExpr(
+        "CAST(id % 400 AS STRING) AS g", "CAST(id * 2 AS INT) AS t")
+    out = asof_join(q, obs, "t", ["v"], ["g"], cache=False)
+    assert "BroadcastExchange" not in _plan(out)
+    # spot-check values still correct
+    row = out.filter("g = '7' AND t = 14").first()
+    assert row["v"] == 7.0 and row["asof_t"] == 7
+
+
+def test_integrity_scan_many_groups_no_broadcast(spark):
+    from timeperiods_spark.operators.interval_avg import _integrity_flags_frame
+
+    xw = spark.range(2000).selectExpr(
+        "CAST(id % 500 AS STRING) AS __g0",
+        "CAST(id * 10 AS LONG) AS __xs",
+        "CAST(id * 10 + 4 AS LONG) AS __xe",
+    )
+    flags = _integrity_flags_frame(xw, ["__g0"])
+    assert "BroadcastExchange" not in _plan(flags)
+    assert flags.filter("ovl OR dup OR nul OR rev").count() == 0

@@ -430,3 +430,32 @@ def test_rolling_window_agg_matches_range_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_minhash_index_roundtrips_through_parquet(spark, docs, tmp_path):
+    """The persisted-index workflow end to end: write the band index +
+    shingles to parquet, read them back, and dedup a new batch against
+    the STORED index — same survivors as the in-memory path."""
+    from timeperiods_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+    )
+
+    b1, b2 = docs.filter("doc_id < 20"), docs.filter("doc_id >= 20")
+    bands, shingles = build_minhash_index(b1, "doc_id", "text")
+    bands.write.parquet(str(tmp_path / "idx_bands"))
+    shingles.write.parquet(str(tmp_path / "idx_shingles"))
+
+    mem = minhash_dedup_incremental(
+        b2, "doc_id", "text",
+        index_bands=bands, index_shingles=shingles, verify_threshold=0.4,
+    )["deduped"]
+    stored = minhash_dedup_incremental(
+        b2, "doc_id", "text",
+        index_bands=spark.read.parquet(str(tmp_path / "idx_bands")),
+        index_shingles=spark.read.parquet(str(tmp_path / "idx_shingles")),
+        verify_threshold=0.4,
+    )["deduped"]
+    assert {r["doc_id"] for r in mem.select("doc_id").collect()} == {
+        r["doc_id"] for r in stored.select("doc_id").collect()
+    }

@@ -390,3 +390,65 @@ def test_gap_fill_interpolate_crosses_buckets(spark):
     assert len(rows) == 1001
     for p in (1, 250, 499, 500, 750, 999):
         assert rows[p] == float(p), (p, rows[p])
+
+
+def test_extra_stats_variance_exact_and_cascade_additive(spark):
+    """sumsq partials: (a) explode == sweep == brute-force weighted
+    variance at width 1, (b) daily variance derived from hourly
+    partials via cascade == daily variance computed from raw data."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark.operators.rollup import (
+        cascade,
+        finalize_rollup,
+        rollup_regular,
+    )
+    from timeperiods_spark.sources.tokens import token_table
+
+    t = token_table(spark, 800)
+    kw = dict(width=1, partial=True, extra_stats=True)
+    a = rollup_regular(t, ("start_hour", "end_hour"), ("n_tok",), ("source",), **kw)
+    b = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+        algorithm="sweep", **kw,
+    )
+    ka = {(r["source"], r["period"]): (r["sumsq_n_tok"], r["sumprod_n_tok"])
+          for r in a.collect()}
+    kb = {(r["source"], r["period"]): (r["sumsq_n_tok"], r["sumprod_n_tok"])
+          for r in b.collect()}
+    assert ka.keys() == kb.keys()
+    for k in ka:
+        assert ka[k][0] == pytest.approx(kb[k][0], rel=1e-12)
+
+    daily_from_cascade = finalize_rollup(
+        cascade(a, ("n_tok",), ("source",), fine_width=1, coarse_width=24),
+        ("n_tok",), ("source",), width=24, required_percentage=0.0,
+    )
+    daily_direct = finalize_rollup(
+        rollup_regular(
+            t, ("start_hour", "end_hour"), ("n_tok",), ("source",),
+            width=24, partial=True, extra_stats=True,
+        ),
+        ("n_tok",), ("source",), width=24, required_percentage=0.0,
+    )
+    da = {(r["source"], r["period"]): r["n_tok_var"] for r in daily_from_cascade.collect()}
+    db = {(r["source"], r["period"]): r["n_tok_var"] for r in daily_direct.collect()}
+    assert da.keys() == db.keys() and len(da) > 50
+    for k in da:
+        assert da[k] == pytest.approx(db[k], rel=1e-9, abs=1e-9)
+    # spot-check against a brute-force weighted variance for one key
+    some = next(iter(sorted(da)))
+    src, per = some
+    cells = (
+        t.filter(F.col("source") == src)
+        .select(
+            F.explode(F.sequence("start_hour", "end_hour")).alias("h"),
+            F.col("n_tok").cast("double").alias("v"),
+        )
+        .filter((F.col("h") >= per * 24) & (F.col("h") < (per + 1) * 24))
+    )
+    stats = cells.agg(
+        (F.sum(F.col("v") * F.col("v")) / F.count("v")
+         - F.pow(F.sum("v") / F.count("v"), 2)).alias("var")
+    ).first()
+    assert da[some] == pytest.approx(stats["var"], rel=1e-9)

@@ -103,6 +103,7 @@ def remove_overlaps(
     join_strategy: str = "bin",
     bin_width: Optional[int] = None,
     keep_values: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Decompose possibly-overlapping intervals into atomic pieces.
 
@@ -160,10 +161,13 @@ def remove_overlaps(
     # base feeds four subtrees (sweep bounds, per-bucket leads, bucket
     # firsts, and the join-back): persist so the upstream input is
     # computed once — at corpus scale it's (groups, 2 longs, payload)
-    # per interval, spilling to disk if needed
-    from pyspark import StorageLevel
+    # per interval, spilling to disk if needed. Long-lived sessions
+    # issuing many decompositions can pass cache=False to avoid
+    # accumulating cached blocks (same toggle as asof_join).
+    if cache:
+        from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # O21 — melt endpoints into a long event stream
     melted = base.select(*gcols, F.col("__xs").alias("__val"), F.lit(False).alias("__is_end")).unionByName(

@@ -131,8 +131,15 @@ def rollup_regular(
     validate: bool = True,
     group_dim: Optional[DataFrame] = None,
     carry_hints: Optional[dict] = None,
+    extra_stats: bool = False,
 ) -> DataFrame:
     """Roll interval-measured values onto a regular period grid.
+
+    ``extra_stats=True`` adds the ADDITIVE second-moment partial
+    ``sumsq_<v>`` (sum of v^2 x overlap-duration) to every path, so
+    exact time-weighted variance/stddev is available at ANY tier of a
+    cascade without touching raw data; ``finalize_rollup`` then emits
+    ``<v>_var`` next to the mean.
 
     ``carry_hints`` (sweep algorithm only): ``{"span": (lo_period,
     hi_period), "groups": n_group_combos}`` lets the sweep's prefix-sum
@@ -285,7 +292,7 @@ def rollup_regular(
             x, s, e, value_vars, group_vars, user_group_vars, dim,
             group_encoders, origin, partial, required_percentage,
             validate=validate, dim_user_supplied=group_dim is not None,
-            carry_hints=carry_hints,
+            carry_hints=carry_hints, extra_stats=extra_stats,
         )
     if width == 1:
         # Unit-width special case (the hourly base tier hot path): every
@@ -298,6 +305,14 @@ def rollup_regular(
             F.count(F.lit(1)).alias("xduration"),
             *[F.count(f"__v_{v}").alias(f"nobs_{v}") for v in value_vars],
             *[F.sum(f"__v_{v}").alias(f"sumprod_{v}") for v in value_vars],
+            *(
+                [
+                    F.sum(F.col(f"__v_{v}") * F.col(f"__v_{v}")).alias(f"sumsq_{v}")
+                    for v in value_vars
+                ]
+                if extra_stats
+                else []
+            ),
         )
         cell = (o + F.col("period")).cast("long")
         agg = agg.withColumn("xminstart", cell).withColumn("xmaxend", cell).select(
@@ -306,6 +321,7 @@ def rollup_regular(
             "xduration",
             *[f"nobs_{v}" for v in value_vars],
             *[f"sumprod_{v}" for v in value_vars],
+            *([f"sumsq_{v}" for v in value_vars] if extra_stats else []),
             "xminstart",
             "xmaxend",
         )
@@ -326,11 +342,24 @@ def rollup_regular(
                 for v in value_vars
             ],
             *[(F.col(f"__v_{v}") * dur).alias(f"__p_{v}") for v in value_vars],
+            *(
+                [
+                    (F.col(f"__v_{v}") * F.col(f"__v_{v}") * dur).alias(f"__q_{v}")
+                    for v in value_vars
+                ]
+                if extra_stats
+                else []
+            ),
         )
         agg = weighted.groupBy(*group_vars, "period").agg(
             F.sum("__dur").cast("long").alias("xduration"),
             *[F.sum(f"__nm_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
             *[F.sum(f"__p_{v}").alias(f"sumprod_{v}") for v in value_vars],
+            *(
+                [F.sum(f"__q_{v}").alias(f"sumsq_{v}") for v in value_vars]
+                if extra_stats
+                else []
+            ),
             F.min("__cs").alias("xminstart"),
             F.max("__ce").alias("xmaxend"),
         )
@@ -353,6 +382,7 @@ def rollup_regular(
                 "xduration",
                 *[f"nobs_{v}" for v in value_vars],
                 *[f"sumprod_{v}" for v in value_vars],
+                *([f"sumsq_{v}" for v in value_vars] if extra_stats else []),
                 "xminstart",
                 "xmaxend",
             )
@@ -384,6 +414,7 @@ def _rollup_sweep_unit(
     validate: bool = True,
     dim_user_supplied: bool = False,
     carry_hints: Optional[dict] = None,
+    extra_stats: bool = False,
 ) -> DataFrame:
     """Width-1 sweep backend for rollup_regular (see caller comment)."""
     from pyspark.sql import Window as _W
@@ -439,12 +470,20 @@ def _rollup_sweep_unit(
             .cast("long").alias(f"__dn_{v}")
         )
         bcols.append((F.coalesce(vc, F.lit(0.0)) * sign).alias(f"__ds_{v}"))
+        if extra_stats:
+            v0 = F.coalesce(vc, F.lit(0.0))
+            bcols.append((v0 * v0 * sign).alias(f"__dq_{v}"))
     boundary = side.select(*bcols)
 
     agg = boundary.groupBy(*group_vars, "period").agg(
         F.sum("__dc").alias("__dc"),
         *[F.sum(f"__dn_{v}").alias(f"__dn_{v}") for v in value_vars],
         *[F.sum(f"__ds_{v}").alias(f"__ds_{v}") for v in value_vars],
+        *(
+            [F.sum(f"__dq_{v}").alias(f"__dq_{v}") for v in value_vars]
+            if extra_stats
+            else []
+        ),
     )
 
     # Prefix-sum + lead over the delta frame. A window partitioned by
@@ -458,6 +497,8 @@ def _rollup_sweep_unit(
     sum_cols = ["__dc"] + [f"__dn_{v}" for v in value_vars] + [
         f"__ds_{v}" for v in value_vars
     ]
+    if extra_stats:
+        sum_cols += [f"__dq_{v}" for v in value_vars]
     hints = dict(carry_hints or {})
     if "groups" not in hints and dim is not None and dim_user_supplied:
         # the caller's dim is tiny by contract; its count is the exact
@@ -496,6 +537,11 @@ def _rollup_sweep_unit(
         _run("__dc", "__rc", cast="long"),
         *[_run(f"__dn_{v}", f"__rn_{v}", cast="long") for v in value_vars],
         *[_run(f"__ds_{v}", f"__rs_{v}") for v in value_vars],
+        *(
+            [_run(f"__dq_{v}", f"__rq_{v}") for v in value_vars]
+            if extra_stats
+            else []
+        ),
     ).filter(F.col("__rc") > 0)
 
     cells = runs.select(
@@ -509,6 +555,14 @@ def _rollup_sweep_unit(
             F.when(F.col(f"__rn_{v}") > 0, F.col(f"__rs_{v}")).alias(f"sumprod_{v}")
             for v in value_vars
         ],
+        *(
+            [
+                F.when(F.col(f"__rn_{v}") > 0, F.col(f"__rq_{v}")).alias(f"sumsq_{v}")
+                for v in value_vars
+            ]
+            if extra_stats
+            else []
+        ),
     )
     cell = (o + F.col("period")).cast("long")
     out = cells.withColumn("xminstart", cell).withColumn("xmaxend", cell)
@@ -529,6 +583,7 @@ def _rollup_sweep_unit(
         "xduration",
         *[f"nobs_{v}" for v in value_vars],
         *[f"sumprod_{v}" for v in value_vars],
+        *([f"sumsq_{v}" for v in value_vars] if extra_stats else []),
         "xminstart",
         "xmaxend",
     )
@@ -570,6 +625,16 @@ def finalize_rollup(
             .cast("double")
             .alias(v)
         )
+    for v in value_vars:
+        if f"sumsq_{v}" in partials.columns:
+            mean = F.col(f"sumprod_{v}") / F.col(f"nobs_{v}")
+            var = F.col(f"sumsq_{v}") / F.col(f"nobs_{v}") - mean * mean
+            cols.append(
+                F.when(F.lit(100.0) * F.col(f"nobs_{v}") / ydur < req, F.lit(None))
+                .otherwise(var)
+                .cast("double")
+                .alias(f"{v}_var")
+            )
     cols.append(ydur.alias("yduration"))
     cols.append(F.col("xduration"))
     cols.extend(F.col(f"nobs_{v}") for v in value_vars)
@@ -596,6 +661,11 @@ def merge_partials(
         F.sum("xduration").cast("long").alias("xduration"),
         *[F.sum(f"nobs_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars],
         *[F.sum(f"sumprod_{v}").alias(f"sumprod_{v}") for v in value_vars],
+        *[
+            F.sum(f"sumsq_{v}").alias(f"sumsq_{v}")
+            for v in value_vars
+            if f"sumsq_{v}" in df.columns
+        ],
         F.min("xminstart").alias("xminstart"),
         F.max("xmaxend").alias("xmaxend"),
     )
