@@ -1224,6 +1224,59 @@ FROM a
 SQL_TIER_VARIANCE = SQL_TIER_VARIANCE.format(tok=token_table_oracle_sql(N_TOKEN_DOCS))
 
 
+def q_tier_quantiles(spark, sf_dir):
+    """Exact daily P50/P90/P99 of token counts from additive long-form
+    histogram partials (bin_width=1 over integer n_tok): quantiles that
+    MERGE across tiers/batches, unlike classic quantile state."""
+    from timeperiods_spark import histogram_quantiles, rollup_histogram
+
+    t = token_table(spark, N_TOKEN_DOCS)
+    daily = rollup_histogram(
+        t, ("start_hour", "end_hour"), "n_tok", ("source",), width=24
+    )
+    out = histogram_quantiles(daily, [0.5, 0.9, 0.99], ("source",))
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round("p", 2).alias("p"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_TIER_QUANTILES = f"""
+WITH tok AS ({{tok}}),
+per AS (
+  SELECT range AS period, CAST(24*range AS BIGINT) AS ps,
+         CAST(24*range + 23 AS BIGINT) AS pe
+  FROM range(CAST(CEIL(8784.0 / 24) AS BIGINT))
+),
+j AS (
+  SELECT t.source, per.period, CAST(t.n_tok AS BIGINT) AS bin,
+         LEAST(t.end_hour, per.pe) - GREATEST(t.start_hour, per.ps) + 1 AS dur
+  FROM tok t JOIN per ON t.start_hour <= per.pe AND t.end_hour >= per.ps
+),
+h AS (
+  SELECT source, CAST(period AS BIGINT) AS period, bin, SUM(dur) AS cnt
+  FROM j GROUP BY source, period, bin
+),
+c AS (
+  SELECT source, period, bin,
+         SUM(cnt) OVER (PARTITION BY source, period ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY source, period) AS tot
+  FROM h
+)
+SELECT source, period, ROUND(CAST(pr.p AS DOUBLE), 2) AS p,
+       ROUND(CAST(MIN(bin) AS DOUBLE), 6) AS value
+FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pr(p)
+WHERE cum >= CEIL(pr.p * tot)
+GROUP BY source, period, pr.p
+"""
+SQL_TIER_QUANTILES = SQL_TIER_QUANTILES.format(
+    tok=token_table_oracle_sql(N_TOKEN_DOCS)
+)
+
+
 N_MEDIA = 200
 
 
@@ -1319,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_forward": q_asof_forward,
         "rolling_7d_stats": q_rolling_7d,
         "tier_variance_daily": q_tier_variance,
+        "tier_quantiles_daily": q_tier_quantiles,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -1348,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events_forward": SQL_ASOF_FORWARD,
         "rolling_7d_stats": SQL_ROLLING_7D,
         "tier_variance_daily": SQL_TIER_VARIANCE,
+        "tier_quantiles_daily": SQL_TIER_QUANTILES,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

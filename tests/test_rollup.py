@@ -452,3 +452,64 @@ def test_extra_stats_variance_exact_and_cascade_additive(spark):
          - F.pow(F.sum("v") / F.count("v"), 2)).alias("var")
     ).first()
     assert da[some] == pytest.approx(stats["var"], rel=1e-9)
+
+
+def test_histogram_partials_and_exact_quantiles(spark):
+    """Long-form histograms: duration-weighted counts, cascade
+    additivity, and exact type-1 quantiles for integer data."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark import (
+        histogram_quantiles,
+        merge_histograms,
+        rollup_histogram,
+    )
+    from timeperiods_spark.sources.tokens import token_table
+
+    t = token_table(spark, 600)
+    hourly = rollup_histogram(
+        t, ("start_hour", "end_hour"), "n_tok", ("source",), width=1
+    )
+    # total mass == total overlapped grid units == sum of durations
+    total = hourly.agg(F.sum("count")).first()[0]
+    expect = t.select(
+        F.sum(F.col("end_hour") - F.col("start_hour") + 1)
+    ).first()[0]
+    assert total == expect
+
+    # cascade: daily from hourly == daily direct
+    daily_c = merge_histograms(
+        hourly, ("source",), period_expr=F.floor(F.col("period") / 24).cast("long")
+    )
+    daily_d = rollup_histogram(
+        t, ("start_hour", "end_hour"), "n_tok", ("source",), width=24
+    )
+    ka = {(r["source"], r["period"], r["bin"]): r["count"] for r in daily_c.collect()}
+    kb = {(r["source"], r["period"], r["bin"]): r["count"] for r in daily_d.collect()}
+    assert ka == kb
+
+    # exact quantiles vs brute force on one (source, day)
+    q = histogram_quantiles(daily_d, [0.5, 0.95, 1.0], ("source",))
+    src, per = sorted(ka)[0][:2]
+    got = {
+        r["p"]: r["value"]
+        for r in q.filter(
+            (F.col("source") == src) & (F.col("period") == per)
+        ).collect()
+    }
+    cells = (
+        t.filter(F.col("source") == src)
+        .select(
+            F.explode(F.sequence("start_hour", "end_hour")).alias("h"),
+            F.col("n_tok").cast("long").alias("v"),
+        )
+        .filter((F.col("h") >= per * 24) & (F.col("h") < (per + 1) * 24))
+        .orderBy("v")
+        .collect()
+    )
+    vals = [r["v"] for r in cells]
+    import math
+
+    for p in (0.5, 0.95, 1.0):
+        brute = vals[math.ceil(p * len(vals)) - 1]
+        assert got[p] == float(brute), (p, got[p], brute)

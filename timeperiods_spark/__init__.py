@@ -19,6 +19,11 @@ from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
 from .operators.downsample import downsample_m4
+from .operators.histogram import (
+    histogram_quantiles,
+    merge_histograms,
+    rollup_histogram,
+)
 from .operators.rolling import rolling_window_agg
 from .operators.sessions import sessionize
 from .operators.dedup import (
@@ -74,6 +79,9 @@ __all__ = [
     "sessionize",
     "downsample_m4",
     "rolling_window_agg",
+    "rollup_histogram",
+    "merge_histograms",
+    "histogram_quantiles",
     "period_scaffold",
     "compress_series",
     "decompress_series",
