@@ -132,3 +132,48 @@ def test_f11_random(spark, strategy, salt):
         kw = {"bin_width": 16, "skew_salt": salt}
     out = _run_both(spark, FX.f11_random_pipeline, strategy=strategy, **kw)
     assert out.count() == 4 * 3 * 20
+
+
+def test_iwa_extra_stats_matches_rollup_variance(spark):
+    """interval_weighted_avg(extra_stats=) over a regular scaffold ==
+    rollup_regular(extra_stats=) — the variance twin of the existing
+    mean-equivalence differential."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark import interval_weighted_avg, rollup_regular
+    from timeperiods_spark.operators.rollup import (
+        finalize_rollup,
+        period_scaffold,
+    )
+    from timeperiods_spark.sources.tokens import token_table
+
+    t = token_table(spark, 400)
+    x = t.select(
+        "source", "start_hour", "end_hour", F.col("n_tok").cast("double").alias("v")
+    )
+    y = period_scaffold(
+        spark, 0, 24 * 366 - 1, 24,
+        groups=x.select("source").dropDuplicates(),
+    ).select("source", F.col("start").alias("start_hour"), F.col("end").alias("end_hour"))
+    iwa = interval_weighted_avg(
+        x, y, ("start_hour", "end_hour"), ("v",), ("source",), 0.0,
+        skip_overlap_check=True, validate=False, assume_y_distinct=True,
+        join_strategy="broadcast_y", extra_stats=True,
+    )
+    roll = finalize_rollup(
+        rollup_regular(
+            x, ("start_hour", "end_hour"), ("v",), ("source",),
+            width=24, partial=True, extra_stats=True,
+        ),
+        ("v",), ("source",), width=24, required_percentage=0.0,
+    )
+    a = {
+        (r["source"], r["start_hour"]): r["v_var"]
+        for r in iwa.filter("xduration > 0").collect()
+    }
+    b = {(r["source"], r["start"]): r["v_var"] for r in roll.collect()}
+    assert a.keys() == b.keys() and len(a) > 100
+    import pytest as _pytest
+
+    for k in a:
+        assert a[k] == _pytest.approx(b[k], rel=1e-9, abs=1e-9)

@@ -274,6 +274,7 @@ def interval_weighted_avg(
     bin_width: Optional[int] = None,
     skew_salt: Optional[int] = None,
     sort_output: bool = False,
+    extra_stats: bool = False,
 ) -> DataFrame:
     """Average interval-measured values onto an arbitrary period schedule.
 
@@ -383,6 +384,14 @@ def interval_weighted_avg(
             for i, vc in enumerate(vcols)
         ],
         *[(F.col(vc) * F.col("__dur")).alias(f"__p{i}") for i, vc in enumerate(vcols)],
+        *(
+            [
+                (F.col(vc) * F.col(vc) * F.col("__dur")).alias(f"__q{i}")
+                for i, vc in enumerate(vcols)
+            ]
+            if extra_stats
+            else []
+        ),
     )
 
     # grouped hash aggregation (O7) — partial+final, whole-stage codegen
@@ -390,6 +399,11 @@ def interval_weighted_avg(
         F.sum("__dur").alias("__xdur"),
         *[F.sum(f"__nm{i}").alias(f"__nobs{i}") for i in range(n_v)],
         *[F.sum(f"__p{i}").alias(f"__sp{i}") for i in range(n_v)],
+        *(
+            [F.sum(f"__q{i}").alias(f"__sq{i}") for i in range(n_v)]
+            if extra_stats
+            else []
+        ),
         F.min("__cs").alias("__minstart"),
         F.max("__ce").alias("__maxend"),
     )
@@ -403,6 +417,7 @@ def interval_weighted_avg(
         "__xdur",
         *[F.col(f"__nobs{i}") for i in range(n_v)],
         *[F.col(f"__sp{i}") for i in range(n_v)],
+        *([F.col(f"__sq{i}") for i in range(n_v)] if extra_stats else []),
         "__minstart",
         "__maxend",
     )
@@ -438,6 +453,20 @@ def interval_weighted_avg(
         mean = F.col(f"__sp{i}") / nobs  # 0/0 and NULL/0 → NULL (R NaN→NULL)
         masked = F.when(F.lit(100.0) * nobs / ydur < req, F.lit(None)).otherwise(mean)
         out_cols.append(masked.cast("double").alias(v))
+    if extra_stats:
+        # time-weighted population variance from the second moment,
+        # masked identically to the mean (beyond-reference; the tier
+        # path's rollup_regular(extra_stats=) is the regular-grid twin)
+        for i, v in enumerate(value_vars):
+            nobs = F.coalesce(F.col(f"__nobs{i}"), F.lit(0))
+            mean = F.col(f"__sp{i}") / nobs
+            var = F.col(f"__sq{i}") / nobs - mean * mean
+            out_cols.append(
+                F.when(F.lit(100.0) * nobs / ydur < req, F.lit(None))
+                .otherwise(var)
+                .cast("double")
+                .alias(f"{v}_var")
+            )
     out_cols.append(ydur.alias("yduration"))
     out_cols.append(xdur.alias("xduration"))
     for i, v in enumerate(value_vars):
