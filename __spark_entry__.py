@@ -1277,6 +1277,64 @@ SQL_TIER_QUANTILES = SQL_TIER_QUANTILES.format(
 )
 
 
+def q_merge_intervals(spark, sf_dir):
+    """Interval union (gaps-and-islands coverage): merge overlapping or
+    closed-grid-adjacent measurement intervals per group. The Spark
+    side is a boundary sweep with carried prefix sums; the twin is the
+    classic running-max island SQL."""
+    from timeperiods_spark import merge_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        ((F.col("event_id") * 7) % 10007).cast("int").alias("s"),
+        (
+            (F.col("event_id") * 7) % 10007
+            + (F.col("event_id") % 13) * 3
+            + 2
+        ).cast("int").alias("e"),
+    )
+    out = merge_intervals(iv, ("s", "e"), ["g"])
+    return out.select(
+        "g",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+        F.col("n_source_intervals").cast("long").alias("n_source_intervals"),
+    )
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT CAST(user_id % 7 AS INT) AS g,
+         CAST((event_id * 7) % 10007 AS BIGINT) AS s,
+         CAST((event_id * 7) % 10007 + (event_id % 13) * 3 + 2 AS BIGINT) AS e
+  FROM events
+),
+ord AS (
+  SELECT g, s, e,
+         MAX(e) OVER (PARTITION BY g ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+flg AS (
+  SELECT g, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END AS brk
+  FROM ord
+),
+isl AS (
+  SELECT g, s, e,
+         SUM(brk) OVER (PARTITION BY g ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flg
+)
+SELECT g, MIN(s) AS s, MAX(e) AS e,
+       CAST(COUNT(*) AS BIGINT) AS n_source_intervals
+FROM isl GROUP BY g, island
+"""
+
+
 N_MEDIA = 200
 
 
@@ -1373,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_stats": q_rolling_7d,
         "tier_variance_daily": q_tier_variance,
         "tier_quantiles_daily": q_tier_quantiles,
+        "merge_intervals_events": q_merge_intervals,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -1403,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_stats": SQL_ROLLING_7D,
         "tier_variance_daily": SQL_TIER_VARIANCE,
         "tier_quantiles_daily": SQL_TIER_QUANTILES,
+        "merge_intervals_events": SQL_MERGE_INTERVALS,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

@@ -252,3 +252,62 @@ def test_verbose_flag_prints_steps(spark, capsys):
     interval_weighted_avg(x, y, ("s", "e"), ("v",), None, 50.0, verbose=True).collect()
     out = capsys.readouterr().out
     assert "x integrity" in out and "join_strategy" in out
+
+
+def test_merge_intervals_semantics(spark):
+    """Union coverage: overlap and closed-grid adjacency merge, gaps
+    split; n_source_intervals counts absorbed inputs."""
+    from timeperiods_spark import merge_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 5, 10),    # overlap -> one
+        ("a", 11, 12),                # adjacent (10+1=11) -> merges too
+        ("a", 20, 25),                # gap -> separate
+        ("b", 3, 3), ("b", 7, 8),
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, e int")
+    got = sorted(
+        (r["g"], r["s"], r["e"], r["n_source_intervals"])
+        for r in merge_intervals(df, ("s", "e"), ["g"]).collect()
+    )
+    assert got == [
+        ("a", 1, 12, 3), ("a", 20, 25, 1),
+        ("b", 3, 3, 1), ("b", 7, 8, 1),
+    ]
+
+
+def test_merge_intervals_matches_remove_overlaps_coverage(spark):
+    """Property: the union's covered cell set == the atomic pieces'
+    covered cell set from remove_overlaps, on a random panel."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark import merge_intervals, remove_overlaps
+
+    df = spark.range(500).selectExpr(
+        "CAST(id % 5 AS STRING) AS g",
+        "CAST((id * 37) % 1000 AS INT) AS s",
+        "CAST((id * 37) % 1000 + (id % 11) + 1 AS INT) AS e",
+    )
+    merged = merge_intervals(df, ("s", "e"), ["g"])
+    cells_m = {
+        (r["g"], r["c"])
+        for r in merged.select(
+            "g", F.explode(F.sequence("s", "e")).alias("c")
+        ).collect()
+    }
+    atomic = remove_overlaps(df, ("s", "e"), ["g"]).select("g", "s", "e").dropDuplicates()
+    cells_a = {
+        (r["g"], r["c"])
+        for r in atomic.select(
+            "g", F.explode(F.sequence("s", "e")).alias("c")
+        ).collect()
+    }
+    assert cells_m == cells_a
+    # merged intervals are disjoint and non-adjacent per group
+    ivs = {}
+    for r in merged.collect():
+        ivs.setdefault(r["g"], []).append((r["s"], r["e"]))
+    for g, lst in ivs.items():
+        lst.sort()
+        for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
+            assert s2 > e1 + 1

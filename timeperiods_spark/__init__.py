@@ -25,6 +25,7 @@ from .operators.histogram import (
     rollup_histogram,
 )
 from .operators.rolling import rolling_window_agg
+from .operators.interval_union import merge_intervals
 from .operators.sessions import sessionize
 from .operators.dedup import (
     build_minhash_index,
@@ -82,6 +83,7 @@ __all__ = [
     "rollup_histogram",
     "merge_histograms",
     "histogram_quantiles",
+    "merge_intervals",
     "period_scaffold",
     "compress_series",
     "decompress_series",
