@@ -142,3 +142,62 @@ def test_gorilla_roundtrip_property(deltas, data):
         else:
             # bit-exact, including -0.0 vs 0.0 and infinities
             assert np.float64(got).tobytes() == np.float64(want).tobytes()
+
+
+@given(rows=_interval_rows(max_rows=14, groups=2, span=40))
+@settings(**_SPARK_SETTINGS)
+def test_merge_intervals_union_property(spark, rows):
+    """merge_intervals == brute-force cell-set islands on random input."""
+    from timeperiods_spark import merge_intervals
+
+    df = spark.createDataFrame(rows, "g int, s int, e int")
+    got = {
+        (r["g"], r["s"], r["e"], r["n_source_intervals"])
+        for r in merge_intervals(df, ("s", "e"), ["g"]).collect()
+    }
+    # brute force: mark covered cells, extract maximal runs
+    want = set()
+    by_g = {}
+    for g, s, e in rows:
+        by_g.setdefault(g, []).append((s, e))
+    for g, ivs in by_g.items():
+        covered = sorted({c for s, e in ivs for c in range(s, e + 1)})
+        runs = []
+        for c in covered:
+            if runs and c == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], c)
+            else:
+                runs.append((c, c))
+        for s, e in runs:
+            n = sum(1 for a, b in ivs if s <= a <= e)
+            want.add((g, s, e, n))
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 50)), min_size=1, max_size=16
+))
+@settings(**_SPARK_SETTINGS)
+def test_sessionize_property(spark, rows):
+    """sessionize == brute-force gap walk on random (group, ts) rows."""
+    from timeperiods_spark import sessionize
+
+    rows = sorted(set(rows))  # unique (g, t); order irrelevant to Spark
+    df = spark.createDataFrame(rows, "g int, t int")
+    gap = 5
+    got = {
+        (r["g"], r["t"]): r["session_id"]
+        for r in sessionize(df, "t", gap, ["g"]).collect()
+    }
+    want = {}
+    by_g = {}
+    for g, t in rows:
+        by_g.setdefault(g, []).append(t)
+    for g, ts in by_g.items():
+        sid, prev = 0, None
+        for t in sorted(ts):
+            if prev is None or t - prev > gap:
+                sid += 1
+            want[(g, t)] = sid
+            prev = t
+    assert got == want
