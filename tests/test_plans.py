@@ -210,9 +210,12 @@ def test_iwa_projection_prunes_value_columns(spark, xy):
     assert "CartesianProduct" not in p
 
 
-def test_gap_fill_locf_not_single_partition(spark):
-    """The LOCF window must partition by (group…, __bk) — never collapse
-    to one task per group (or one total, ungrouped). VERDICT r2 item 4."""
+def test_gap_fill_locf_buckets_large_domains(spark):
+    """The LOCF window must partition by (group…, __bk) whenever the
+    period domain is too large for per-group windows (VERDICT r2 item
+    4); SMALL domains legitimately use per-group windows (the carry
+    subtree costs ~1s of fixed stages — plans/carry.py domain gate).
+    Plan-only: hints mean no jobs run for the huge span."""
     from timeperiods_spark.operators.rollup import gap_fill_locf
 
     t = token_table(spark, 300)
@@ -220,19 +223,34 @@ def test_gap_fill_locf_not_single_partition(spark):
         t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=24,
         required_percentage=0.0,
     )
-    out = gap_fill_locf(daily, ["n_tok"], ["source"], width=24)
-    p = _plan(out)
-    # the full-data LOCF window must carry the bucket key
-    assert "__bk" in p, p[:1500]
+    big = gap_fill_locf(
+        daily, ["n_tok"], ["source"], width=24,
+        span=(0, 24 * (1 << 20)), group_count_hint=11,
+    )
+    assert "hashpartitioning(source" in _plan(big) and "__bk" in _plan(big)
+    small = gap_fill_locf(
+        daily, ["n_tok"], ["source"], width=24,
+        span=(0, 24 * 366 - 1), group_count_hint=11,
+    )
+    # small domain: no carry-frame join (the scaffold join's broadcast
+    # is legitimate and stays) — __hbk is the carry stitch's key
+    assert "__hbk" not in _plan(small)
 
 
-def test_sweep_rollup_not_single_partition(spark):
-    """width-1 sweep's prefix-sum window must partition by
-    (group…, __bk), not the groups alone. VERDICT r2 item 4."""
+def test_sweep_rollup_buckets_large_domains(spark):
+    """width-1 sweep's prefix-sum window partitions by (group…, __bk)
+    for large period domains; the small tier domain stays per-group
+    (domain gate). VERDICT r2 item 4 + r3 fixed-cost fix."""
     t = token_table(spark, 300)
-    out = rollup_regular(
+    big = rollup_regular(
         t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=1,
         algorithm="sweep", required_percentage=0.0,
+        carry_hints={"span": (0, 1 << 20), "groups": 11},
     )
-    p = _plan(out)
-    assert "__bk" in p, p[:1500]
+    assert "__bk" in _plan(big)
+    small = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok",), ("source",), width=1,
+        algorithm="sweep", required_percentage=0.0,
+        carry_hints={"span": (0, 8824), "groups": 11},
+    )
+    assert "BroadcastExchange" not in _plan(small)

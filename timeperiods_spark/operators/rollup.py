@@ -510,6 +510,8 @@ def _rollup_sweep_unit(
         "period",
         group_count_hint=hints.get("groups"),
         bounds_hint=hints.get("span"),
+        # one row per (group, period) by construction (post-aggregate)
+        rows_bounded_by_domain=True,
     )
     excl = lambda wg: wg.rowsBetween(_W.unboundedPreceding, -1)  # noqa: E731
     stitched = attach_carry(
@@ -776,6 +778,8 @@ def gap_fill_locf(
         "period",
         bounds_hint=(p_lo, p_hi),
         group_count_hint=group_count_hint,
+        # scaffold: one row per (group, period)
+        rows_bounded_by_domain=True,
     )
     stitched = attach_carry(
         plan,
@@ -858,6 +862,8 @@ def gap_fill_interpolate(
         "period",
         bounds_hint=(p_lo, p_hi),
         group_count_hint=group_count_hint,
+        # scaffold: one row per (group, period)
+        rows_bounded_by_domain=True,
     )
 
     def obs_struct(v):

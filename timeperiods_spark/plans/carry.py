@@ -42,6 +42,12 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 GUARD_FACTOR = 4
 #: never build a carry frame larger than this many (group, bucket) rows
 CARRY_CAP_ROWS = 1_000_000
+#: skip bucketing entirely when the caller vouches the per-group window
+#: input is bounded by the t-domain and that domain is at most this many
+#: rows — a per-group window over so few rows beats the carry subtree's
+#: extra stages (bucket agg + broadcast), which cost ~1s of fixed wall
+#: per job (measured on the tier sweep)
+SMALL_DOMAIN_ROWS = 1 << 18
 
 
 @dataclass
@@ -64,6 +70,7 @@ def plan_buckets(
     group_count_hint: Optional[int] = None,
     bounds_hint: Optional[tuple] = None,
     carry_cap_rows: int = CARRY_CAP_ROWS,
+    rows_bounded_by_domain: bool = False,
 ) -> CarryPlan:
     """Decide bucketing for a running scan ordered by ``t_col``.
 
@@ -76,6 +83,13 @@ def plan_buckets(
     be precise: any (lo, hi) roughly covering the data yields correct
     (deterministic, merely less balanced) buckets, and the group count
     only steers the bucket-vs-plain-window choice.
+
+    ``rows_bounded_by_domain=True`` is a caller promise that the frame
+    holds at most one row per (group, t) — true for frames already
+    AGGREGATED by t (the sweep's delta frame, gap-fill scaffolds),
+    false for raw event streams. With it, a known t-domain of at most
+    SMALL_DOMAIN_ROWS skips bucketing: the per-group window over so few
+    rows is faster than the carry subtree's extra stages.
 
     ``empty=True`` means no rows or every ``t_col`` NULL — only
     detected when bounds are computed here; callers with bounds hints
@@ -121,6 +135,10 @@ def plan_buckets(
     if lo is None:
         lo, hi = int(bounds_hint[0]), int(bounds_hint[1])
     est_groups = int(est_groups or 0)
+    if rows_bounded_by_domain and (hi - lo + 1) <= SMALL_DOMAIN_ROWS:
+        return CarryPlan(
+            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
+        )
     if gcols and est_groups >= guard:
         return CarryPlan(
             df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
