@@ -1335,6 +1335,57 @@ FROM isl GROUP BY g, island
 """
 
 
+def q_interval_difference(spark, sf_dir):
+    """Coverage subtraction (x minus y): event activity minus regular
+    maintenance windows. The twin materializes both cell sets, EXCEPTs
+    them, and re-forms islands with the c - row_number() trick."""
+    from timeperiods_spark import interval_difference
+
+    ev = _read(spark, sf_dir, "events")
+    base = (F.col("event_id") * 7) % 10007
+    x = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        base.cast("int").alias("s"),
+        (base + (F.col("event_id") % 13) * 3 + 2).cast("int").alias("e"),
+    )
+    y = x.select("g").distinct().crossJoin(
+        spark.range(21).select(
+            (F.col("id") * 500).cast("int").alias("s"),
+            (F.col("id") * 500 + 99).cast("int").alias("e"),
+        )
+    )
+    out = interval_difference(x, y, ("s", "e"), ["g"])
+    return out.select(
+        "g",
+        F.col("s").cast("long").alias("s"),
+        F.col("e").cast("long").alias("e"),
+    )
+
+
+SQL_INTERVAL_DIFFERENCE = """
+WITH x AS (
+  SELECT CAST(user_id % 7 AS INT) AS g,
+         CAST((event_id * 7) % 10007 AS BIGINT) AS s,
+         CAST((event_id * 7) % 10007 + (event_id % 13) * 3 + 2 AS BIGINT) AS e
+  FROM events
+),
+y AS (
+  SELECT g, CAST(500 * k AS BIGINT) AS s, CAST(500 * k + 99 AS BIGINT) AS e
+  FROM (SELECT DISTINCT CAST(user_id % 7 AS INT) AS g FROM events)
+  CROSS JOIN (SELECT range AS k FROM range(21))
+),
+cx AS (SELECT DISTINCT g, unnest(generate_series(s, e)) AS c FROM x),
+cy AS (SELECT DISTINCT g, unnest(generate_series(s, e)) AS c FROM y),
+cells AS (SELECT g, c FROM cx EXCEPT SELECT g, c FROM cy),
+isl AS (
+  SELECT g, c, c - ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS grp
+  FROM cells
+)
+SELECT g, CAST(MIN(c) AS BIGINT) AS s, CAST(MAX(c) AS BIGINT) AS e
+FROM isl GROUP BY g, grp
+"""
+
+
 N_MEDIA = 200
 
 
@@ -1432,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_variance_daily": q_tier_variance,
         "tier_quantiles_daily": q_tier_quantiles,
         "merge_intervals_events": q_merge_intervals,
+        "interval_difference_events": q_interval_difference,
         "iwa_sorted_validated": q_iwa_sorted_validated,
         "multimodal_features": q_multimodal_features,
         **_PIPELINE_QUERIES,
@@ -1463,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_variance_daily": SQL_TIER_VARIANCE,
         "tier_quantiles_daily": SQL_TIER_QUANTILES,
         "merge_intervals_events": SQL_MERGE_INTERVALS,
+        "interval_difference_events": SQL_INTERVAL_DIFFERENCE,
         "iwa_sorted_validated": SQL_IWA_SORTED,
         "multimodal_features": SQL_MULTIMODAL,
         **_PIPELINE_ORACLES,

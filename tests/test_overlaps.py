@@ -311,3 +311,59 @@ def test_merge_intervals_matches_remove_overlaps_coverage(spark):
         lst.sort()
         for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
             assert s2 > e1 + 1
+
+
+def test_interval_difference_and_gaps(spark):
+    from timeperiods_spark import find_gaps, interval_difference
+
+    x = spark.createDataFrame(
+        [("a", 0, 20), ("a", 30, 40), ("b", 5, 9)], "g string, s int, e int"
+    )
+    y = spark.createDataFrame(
+        [("a", 5, 8), ("a", 18, 33), ("b", 0, 100)], "g string, s int, e int"
+    )
+    got = sorted(
+        (r["g"], r["s"], r["e"])
+        for r in interval_difference(x, y, ("s", "e"), ["g"]).collect()
+    )
+    assert got == [("a", 0, 4), ("a", 9, 17), ("a", 34, 40)]
+
+    gaps = sorted(
+        (r["g"], r["s"], r["e"])
+        for r in find_gaps(x, ("s", "e"), ["g"], span=(0, 50)).collect()
+    )
+    assert gaps == [("a", 21, 29), ("a", 41, 50), ("b", 0, 4), ("b", 10, 50)]
+
+
+def test_interval_difference_property_vs_cells(spark):
+    """Random panels: difference's covered cells == x cells minus y
+    cells, and outputs are maximal disjoint runs."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark import interval_difference
+
+    x = spark.range(120).selectExpr(
+        "CAST(id % 3 AS STRING) AS g",
+        "CAST((id * 53) % 400 AS INT) AS s",
+        "CAST((id * 53) % 400 + (id % 7) + 1 AS INT) AS e",
+    )
+    y = spark.range(60).selectExpr(
+        "CAST(id % 3 AS STRING) AS g",
+        "CAST((id * 91) % 400 AS INT) AS s",
+        "CAST((id * 91) % 400 + (id % 11) + 1 AS INT) AS e",
+    )
+    diff = interval_difference(x, y, ("s", "e"), ["g"])
+    got_cells = {
+        (r["g"], r["c"])
+        for r in diff.select("g", F.explode(F.sequence("s", "e")).alias("c")).collect()
+    }
+    cx = {(r["g"], r["c"]) for r in x.select("g", F.explode(F.sequence("s", "e")).alias("c")).collect()}
+    cy = {(r["g"], r["c"]) for r in y.select("g", F.explode(F.sequence("s", "e")).alias("c")).collect()}
+    assert got_cells == cx - cy
+    ivs = {}
+    for r in diff.collect():
+        ivs.setdefault(r["g"], []).append((r["s"], r["e"]))
+    for g, lst in ivs.items():
+        lst.sort()
+        for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
+            assert s2 > e1 + 1  # maximal: no adjacent outputs

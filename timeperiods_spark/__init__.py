@@ -25,6 +25,7 @@ from .operators.histogram import (
     rollup_histogram,
 )
 from .operators.rolling import rolling_window_agg
+from .operators.interval_diff import find_gaps, interval_difference
 from .operators.interval_union import merge_intervals
 from .operators.sessions import sessionize
 from .operators.dedup import (
@@ -84,6 +85,8 @@ __all__ = [
     "merge_histograms",
     "histogram_quantiles",
     "merge_intervals",
+    "interval_difference",
+    "find_gaps",
     "period_scaffold",
     "compress_series",
     "decompress_series",
