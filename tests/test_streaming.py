@@ -223,3 +223,42 @@ def test_sessionized_rollup_stream_matches_batch(spark, tmp_path):
     want = {(r["g"], r["ss"]): (r["n"], r["s"]) for r in batch.collect()}
     for k, v in got.items():
         assert want[k] == v, (k, v, want.get(k))
+
+
+def test_stream_dedup_ingest_equals_whole_corpus(spark, tmp_path):
+    """Two availableNow passes over a growing corpus: the accumulated
+    deduped output must equal the whole-corpus single_hop survivor set
+    (monotone doc ids), with the band index persisted between passes."""
+    from timeperiods_spark.operators.dedup import minhash_dedup
+    from timeperiods_spark.streaming.stream_ingest import stream_dedup_ingest
+
+    base = [
+        "the quick brown fox jumps over the lazy dog in the park",
+        "a completely different document about spark query engines",
+        "numbers and symbols 123 456 !!! ??? mixed into text here",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t + " extra tail words"))
+    rows.append((99, base[0]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "dsrc")
+    docs.filter("doc_id < 20").write.mode("append").parquet(src)
+    args = dict(
+        id_col="doc_id", text_col="text",
+        index_dir=str(tmp_path / "didx"), out_dir=str(tmp_path / "dout"),
+        checkpoint_dir=str(tmp_path / "dck"), verify_threshold=0.4,
+    )
+    stream_dedup_ingest(spark, src, docs.schema, **args).awaitTermination()
+    docs.filter("doc_id >= 20").write.mode("append").parquet(src)
+    stream_dedup_ingest(spark, src, docs.schema, **args).awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dout")).collect()}
+    want = {
+        r["doc_id"]
+        for r in minhash_dedup(docs, "doc_id", "text", verify_threshold=0.4)
+        .select("doc_id").collect()
+    }
+    assert got == want

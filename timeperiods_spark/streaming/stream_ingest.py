@@ -227,3 +227,75 @@ def sessionized_rollup_stream(
             "last_ts",
         )
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    *,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.7,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental near-dup ingestion: every micro-batch is
+    deduplicated against the PERSISTED MinHash band index (plus itself)
+    via ``operators.dedup.minhash_dedup_incremental``, survivors append
+    to ``out_dir``, and the batch's signatures (survivors AND dropped —
+    required for whole-corpus equivalence) append to the index. The
+    streaming checkpoint gives exactly-once file consumption; with
+    monotone doc ids the accumulated output equals the whole-corpus
+    single_hop dedup at every point in time.
+
+    Index layout: ``<index_dir>/bands`` (id, band, bsig) and
+    ``<index_dir>/shingles`` (id, hashes), plain append parquet —
+    partition/bucket by (band, hash(bsig)) at real scale.
+    """
+    import os
+
+    from ..operators.dedup import minhash_dedup_incremental
+
+    bands_path = os.path.join(index_dir, "bands")
+    shingles_path = os.path.join(index_dir, "shingles")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        have_index = os.path.isdir(bands_path)
+        r = minhash_dedup_incremental(
+            batch_df,
+            id_col,
+            text_col,
+            index_bands=spark.read.parquet(bands_path) if have_index else None,
+            index_shingles=(
+                spark.read.parquet(shingles_path) if have_index else None
+            ),
+            k=k,
+            n_hashes=n_hashes,
+            bands=bands,
+            verify_threshold=verify_threshold,
+            broadcast_batch=True,
+        )
+        # order matters for crash replay: survivors first, then the
+        # index append — a replayed epoch re-runs the dedup against an
+        # index that may already contain this batch's signatures, which
+        # only ADDS self-matches with id_a < id_b … all of which are
+        # batch-internal pairs already found; the survivor set is
+        # unchanged, so the rewrite is idempotent at the row level
+        # (dedup the out_dir on id downstream if exact once matters).
+        r["deduped"].write.mode("append").parquet(out_dir)
+        r["new_bands"].write.mode("append").parquet(bands_path)
+        r["new_shingles"].write.mode("append").parquet(shingles_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
