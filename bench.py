@@ -458,6 +458,12 @@ def _scaling_pair(lo: int, hi: int, n_scale: int, reps: int, tmp: str, max_extra
     thr_hi = out[f"local{hi}"]["docs_per_sec"]
     out["speedup"] = round(thr_hi / thr_lo, 3)
     out["scaling_efficiency"] = round(thr_hi / thr_lo / (hi / lo), 3)
+    # steal direction matters: steal on the SLOW leg inflates its wall
+    # and biases the ratio UP (illegitimate); steal on the FAST leg
+    # biases the ratio DOWN. When the slow leg's selected rep is clean,
+    # the reported efficiency is a LOWER BOUND regardless of fast-leg
+    # contamination — flagged so the number can stand on its own.
+    out["efficiency_is_lower_bound"] = out[f"local{lo}"]["clean_sampled"]
     return out
 
 
