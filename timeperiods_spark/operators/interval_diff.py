@@ -54,6 +54,7 @@ def interval_difference(
     group_vars: Optional[Sequence[str]] = None,
     *,
     group_count_hint: Optional[int] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Maximal disjoint intervals covered by ``x`` and not by ``y``
     within each group: columns ``group_vars…, <start>, <end>``. Both
@@ -80,6 +81,12 @@ def interval_difference(
         .groupBy(*gcols, "__pos")
         .agg(F.sum("__dx").alias("__dx"), F.sum("__dy").alias("__dy"))
     )
+    if cache:
+        # boundary-sized post-aggregate frame feeding two planner stats
+        # actions plus the main plan — scan both sources once
+        from pyspark import StorageLevel
+
+        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
 
     plan = plan_buckets(deltas, gcols, "__pos", group_count_hint=group_count_hint)
     excl = lambda wg: wg.rowsBetween(Window.unboundedPreceding, -1)  # noqa: E731

@@ -33,6 +33,7 @@ def merge_intervals(
     group_vars: Optional[Sequence[str]] = None,
     *,
     group_count_hint: Optional[int] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Maximal disjoint union intervals per group: columns
     ``group_vars…, <start>, <end>, n_source_intervals`` (how many input
@@ -71,6 +72,14 @@ def merge_intervals(
             F.sum(F.when(F.col("__d") > 0, 1).otherwise(0)).alias("__n"),
         )
     )
+    if cache:
+        # the (boundary-sized, post-aggregate) delta frame feeds both
+        # bucket-planner stats actions plus the main plan — persist so
+        # the raw input is scanned once (cache=False for long-lived
+        # sessions, as elsewhere in the toolkit)
+        from pyspark import StorageLevel
+
+        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
 
     plan = plan_buckets(
         deltas, gcols, "__pos", group_count_hint=group_count_hint
