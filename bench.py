@@ -492,7 +492,10 @@ def scaling_runs() -> dict:
     # the measurement closer to the 10^12-sequence design point, where
     # per-job overhead is noise.
     n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "512000000"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    # 2 base reps at the 512M scale (legs are ~2x longer than r2's
+    # 256M); the probe-gated extra rounds below still extend the run
+    # when no clean rep landed, so hygiene is unchanged
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     tmp = tempfile.mkdtemp(prefix="bench_scale_")
     try:
         out = _scaling_pair(lo, hi, n_scale, reps, tmp)
