@@ -1386,6 +1386,64 @@ FROM isl GROUP BY g, grp
 """
 
 
+def q_tier_covariance(spark, sf_dir):
+    """Exact time-weighted covariance between two value columns at the
+    daily tier from the additive sumxy partial (cross_stats=) — the
+    cross-moment member of the mergeable-statistics family. 4dp
+    rounding for the same E[xy]-E[x]E[y] cancellation reason as the
+    variance query."""
+    from timeperiods_spark.operators.rollup import finalize_rollup
+
+    t = token_table(spark, N_TOKEN_DOCS).withColumn(
+        "m", (F.col("n_tok") % 97).cast("double")
+    )
+    daily = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok", "m"), ("source",),
+        width=24, required_percentage=0.0, partial=True,
+        cross_stats=[("n_tok", "m")],
+    )
+    out = finalize_rollup(
+        daily, ("n_tok", "m"), ("source",), width=24, required_percentage=0.0
+    )
+    return out.select(
+        "source",
+        F.col("period").cast("long").alias("period"),
+        F.round("cov_n_tok_m", 4).alias("cov_n_tok_m"),
+        F.col("xduration").cast("long").alias("xduration"),
+    )
+
+
+SQL_TIER_COVARIANCE = f"""
+WITH tok AS ({{tok}}),
+p AS (
+  SELECT range AS period, CAST(24*range AS BIGINT) AS ps,
+         CAST(24*range + 23 AS BIGINT) AS pe
+  FROM range(CAST(CEIL(8784.0 / 24) AS BIGINT))
+),
+j AS (
+  SELECT t.source, p.period,
+         LEAST(t.end_hour, p.pe) - GREATEST(t.start_hour, p.ps) + 1 AS dur,
+         CAST(t.n_tok AS DOUBLE) AS x,
+         CAST(t.n_tok % 97 AS DOUBLE) AS y
+  FROM tok t JOIN p ON t.start_hour <= p.pe AND t.end_hour >= p.ps
+),
+a AS (
+  SELECT source, CAST(period AS BIGINT) AS period,
+         SUM(dur) AS n,
+         SUM(x * dur) AS sx, SUM(y * dur) AS sy,
+         SUM(x * y * dur) AS sxy
+  FROM j GROUP BY source, period
+)
+SELECT source, period,
+       ROUND(sxy / n - (sx / n) * (sy / n), 4) AS cov_n_tok_m,
+       CAST(n AS BIGINT) AS xduration
+FROM a
+"""
+SQL_TIER_COVARIANCE = SQL_TIER_COVARIANCE.format(
+    tok=token_table_oracle_sql(N_TOKEN_DOCS)
+)
+
+
 N_MEDIA = 200
 
 
@@ -1482,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_stats": q_rolling_7d,
         "tier_variance_daily": q_tier_variance,
         "tier_quantiles_daily": q_tier_quantiles,
+        "tier_covariance_daily": q_tier_covariance,
         "merge_intervals_events": q_merge_intervals,
         "interval_difference_events": q_interval_difference,
         "iwa_sorted_validated": q_iwa_sorted_validated,
@@ -1514,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_stats": SQL_ROLLING_7D,
         "tier_variance_daily": SQL_TIER_VARIANCE,
         "tier_quantiles_daily": SQL_TIER_QUANTILES,
+        "tier_covariance_daily": SQL_TIER_COVARIANCE,
         "merge_intervals_events": SQL_MERGE_INTERVALS,
         "interval_difference_events": SQL_INTERVAL_DIFFERENCE,
         "iwa_sorted_validated": SQL_IWA_SORTED,

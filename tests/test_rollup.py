@@ -513,3 +513,67 @@ def test_histogram_partials_and_exact_quantiles(spark):
     for p in (0.5, 0.95, 1.0):
         brute = vals[math.ceil(p * len(vals)) - 1]
         assert got[p] == float(brute), (p, got[p], brute)
+
+
+def test_cross_stats_covariance_exact_and_cascade(spark):
+    """sumxy partials: explode == sweep, cascade-exact, and equal to a
+    brute-force time-weighted covariance on one (source, day)."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark.operators.rollup import (
+        cascade,
+        finalize_rollup,
+        rollup_regular,
+    )
+    from timeperiods_spark.sources.tokens import token_table
+
+    t = token_table(spark, 500).withColumn(
+        "m", (F.col("n_tok") % 97).cast("double")
+    )
+    kw = dict(width=1, partial=True, cross_stats=[("n_tok", "m")])
+    a = rollup_regular(t, ("start_hour", "end_hour"), ("n_tok", "m"), ("source",), **kw)
+    b = rollup_regular(
+        t, ("start_hour", "end_hour"), ("n_tok", "m"), ("source",),
+        algorithm="sweep", **kw,
+    )
+    ka = {(r["source"], r["period"]): (r["sumxy_n_tok_m"], r["nobsxy_n_tok_m"])
+          for r in a.collect()}
+    kb = {(r["source"], r["period"]): (r["sumxy_n_tok_m"], r["nobsxy_n_tok_m"])
+          for r in b.collect()}
+    assert ka.keys() == kb.keys()
+    for k in ka:
+        assert ka[k][1] == kb[k][1]
+        assert ka[k][0] == pytest.approx(kb[k][0], rel=1e-12)
+
+    daily_c = finalize_rollup(
+        cascade(a, ("n_tok", "m"), ("source",), fine_width=1, coarse_width=24),
+        ("n_tok", "m"), ("source",), width=24, required_percentage=0.0,
+    )
+    daily_d = finalize_rollup(
+        rollup_regular(
+            t, ("start_hour", "end_hour"), ("n_tok", "m"), ("source",),
+            width=24, partial=True, cross_stats=[("n_tok", "m")],
+        ),
+        ("n_tok", "m"), ("source",), width=24, required_percentage=0.0,
+    )
+    da = {(r["source"], r["period"]): r["cov_n_tok_m"] for r in daily_c.collect()}
+    db = {(r["source"], r["period"]): r["cov_n_tok_m"] for r in daily_d.collect()}
+    assert da.keys() == db.keys() and len(da) > 50
+    for k in da:
+        assert da[k] == pytest.approx(db[k], rel=1e-9, abs=1e-9)
+
+    src, per = sorted(da)[0]
+    cells = (
+        t.filter(F.col("source") == src)
+        .select(
+            F.explode(F.sequence("start_hour", "end_hour")).alias("h"),
+            F.col("n_tok").cast("double").alias("x"),
+            F.col("m").alias("y"),
+        )
+        .filter((F.col("h") >= per * 24) & (F.col("h") < (per + 1) * 24))
+    )
+    st = cells.agg(
+        (F.sum(F.col("x") * F.col("y")) / F.count("x")
+         - (F.sum("x") / F.count("x")) * (F.sum("y") / F.count("y"))).alias("cov")
+    ).first()
+    assert da[(src, per)] == pytest.approx(st["cov"], rel=1e-9)
