@@ -128,3 +128,23 @@ def test_integrity_scan_many_groups_no_broadcast(spark):
     flags = _integrity_flags_frame(xw, ["__g0"])
     assert "BroadcastExchange" not in _plan(flags)
     assert flags.filter("ovl OR dup OR nul OR rev").count() == 0
+
+
+def test_running_max_date_order_column(spark):
+    """Date leading order column takes the bucketed path via unix_date
+    (DATE->BIGINT casts are forbidden; code-review finding)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", dt.date(2024, 1, 1) + dt.timedelta(days=i), float((i * 7) % 5))
+         for i in range(50)],
+        "g string, d date, v double",
+    )
+    out = running_max(df, "v", ["d"], ["g"], out_col="m")
+    rows = sorted((r["d"], r["v"], r["m"]) for r in out.collect())
+    best = 0.0
+    for d, v, m in rows:
+        best = max(best, v)
+        assert m == best, (d, v, m, best)

@@ -367,3 +367,21 @@ def test_interval_difference_property_vs_cells(spark):
         lst.sort()
         for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
             assert s2 > e1 + 1  # maximal: no adjacent outputs
+
+
+def test_find_gaps_preserves_date_type(spark):
+    """Date-typed intervals come back as dates from find_gaps (the
+    synthetic full-span frame must carry x's dtype; review finding)."""
+    import datetime as dt
+
+    from timeperiods_spark import find_gaps
+
+    d = dt.date(2020, 1, 1)
+    x = spark.createDataFrame(
+        [("a", d, d + dt.timedelta(days=4))], "g string, s date, e date"
+    )
+    lo = (d - dt.date(1970, 1, 1)).days
+    gaps = find_gaps(x, ("s", "e"), ["g"], span=(lo, lo + 9))
+    assert dict(gaps.dtypes)["s"] == "date" and dict(gaps.dtypes)["e"] == "date"
+    got = [(r["s"], r["e"]) for r in gaps.collect()]
+    assert got == [(d + dt.timedelta(days=5), d + dt.timedelta(days=9))]

@@ -577,3 +577,19 @@ def test_cross_stats_covariance_exact_and_cascade(spark):
          - (F.sum("x") / F.count("x")) * (F.sum("y") / F.count("y"))).alias("cov")
     ).first()
     assert da[(src, per)] == pytest.approx(st["cov"], rel=1e-9)
+
+
+def test_cross_stats_ambiguous_names_rejected(spark):
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark.errors import RoleValidationError
+    from timeperiods_spark.operators.rollup import rollup_regular
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0, 2.0, 3.0)], "s int, e int, x double, y_z double, x_y double"
+    ).withColumn("z", F.lit(4.0))
+    with pytest.raises(RoleValidationError):
+        rollup_regular(
+            df, ("s", "e"), ("x", "y_z", "x_y", "z"), None, width=1,
+            partial=True, cross_stats=[("x_y", "z")],
+        )

@@ -240,6 +240,7 @@ def minhash_dedup_incremental(
     bands: int = 4,
     verify_threshold: float = 0.7,
     broadcast_batch: bool = False,
+    cache: bool = True,
 ) -> dict:
     """Deduplicate a NEW batch against a persisted corpus index — what
     a production 100 TB pipeline runs nightly, instead of re-deduping
@@ -270,9 +271,14 @@ def minhash_dedup_incremental(
     batch_sh = shingle_frame(new_batch, id_col, text_col, k).filter(
         F.size("hashes") > 0
     )
-    from pyspark import StorageLevel
+    if cache:
+        # the batch shingle frame feeds banding, the pair verify, and
+        # the returned new_shingles; callers in long-lived sessions
+        # should unpersist the returned "new_shingles" frame once
+        # materialized (stream_dedup_ingest does) or pass cache=False
+        from pyspark import StorageLevel
 
-    batch_sh = batch_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        batch_sh = batch_sh.persist(StorageLevel.MEMORY_AND_DISK)
     batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
     if index_bands is None or index_shingles is None:
         # cold start: empty index with the right schemas

@@ -112,7 +112,13 @@ def interval_difference(
         prev_active.alias("__pa"),
         F.when(active & ~prev_active, 1).otherwise(0).cast("long").alias("__st"),
     )
-    plan2 = plan_buckets(marked, gcols, "__pos", group_count_hint=group_count_hint)
+    plan2 = plan_buckets(
+        marked, gcols, "__pos",
+        group_count_hint=(
+            group_count_hint if group_count_hint is not None else plan.est_groups
+        ),
+        bounds_hint=(plan.lo, plan.hi) if plan.lo is not None else None,
+    )
     stitched2 = attach_carry(
         plan2,
         [F.sum("__st").alias("__bst")],
@@ -159,8 +165,13 @@ def find_gaps(
     group_vars = list(group_vars or [])
     spark = x.sparkSession
     lo, hi = int(span[0]), int(span[1])
+    # the synthetic full-span frame must carry x's interval dtype, or a
+    # Date-typed x would come back as raw grid ints (the output type is
+    # read off interval_difference's x side)
+    s_t = {f.name: f.dataType for f in x.schema.fields}[interval_vars[0]]
     full = spark.range(1).select(
-        F.lit(lo).alias(interval_vars[0]), F.lit(hi).alias(interval_vars[1])
+        _ungrid(F.lit(lo), s_t).alias(interval_vars[0]),
+        _ungrid(F.lit(hi), s_t).alias(interval_vars[1]),
     )
     if group_vars:
         full = x.select(*group_vars).dropDuplicates().crossJoin(full)

@@ -87,14 +87,8 @@ def merge_intervals(
     excl = lambda wg: wg.rowsBetween(Window.unboundedPreceding, -1)  # noqa: E731
     stitched = attach_carry(
         plan,
-        [
-            F.sum("__d").alias("__bd"),
-            F.sum(F.when(F.col("__d") > 0, 1).otherwise(0)).alias("__bs"),
-        ],
-        lambda wg: [
-            F.sum("__bd").over(excl(wg)).alias("__cd"),
-            F.sum("__bs").over(excl(wg)).alias("__cs"),
-        ],
+        [F.sum("__d").alias("__bd")],
+        lambda wg: [F.sum("__bd").over(excl(wg)).alias("__cd")],
     )
     w = Window.partitionBy(*gcols, "__bk").orderBy("__pos")
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -112,7 +106,13 @@ def merge_intervals(
         is_start.cast("long").alias("__st"),
     )
     plan2 = plan_buckets(
-        marked, gcols, "__pos", group_count_hint=group_count_hint
+        marked, gcols, "__pos",
+        # reuse stage-1 stats: same keys, same positions — no second
+        # stats action
+        group_count_hint=(
+            group_count_hint if group_count_hint is not None else plan.est_groups
+        ),
+        bounds_hint=(plan.lo, plan.hi) if plan.lo is not None else None,
     )
     stitched2 = attach_carry(
         plan2,

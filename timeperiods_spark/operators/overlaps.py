@@ -290,7 +290,14 @@ def running_max(
     from ..plans.carry import attach_carry, plan_buckets
 
     grid_t = "__rm_t"
-    base = df.withColumn(grid_t, F.col(lead_t).cast("long"))
+    # DATE->BIGINT casts are forbidden (ANSI); unix_date gives the
+    # epoch-day grid the bucket function needs
+    t_expr = (
+        F.unix_date(F.col(lead_t)).cast("long")
+        if lead_type == "date"
+        else F.col(lead_t).cast("long")
+    )
+    base = df.withColumn(grid_t, t_expr)
     plan = plan_buckets(base, group_by, grid_t)
     if plan.empty:
         return df.withColumn(out_name, F.max(col).over(

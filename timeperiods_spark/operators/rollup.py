@@ -177,6 +177,26 @@ def rollup_regular(
             raise RoleValidationError(
                 f"cross_stats pair ({a!r}, {b!r}) must name value_vars"
             )
+    # the partial's column name is sumxy_<a>_<b>; underscores in value
+    # names can make two different pairs collide on one name, which
+    # finalize_rollup could then silently mis-resolve — reject upfront
+    seen_names: dict = {}
+    for a, b in cross_stats:
+        name = f"sumxy_{a}_{b}"
+        other = seen_names.setdefault(name, (a, b))
+        if other != (a, b):
+            raise RoleValidationError(
+                f"cross_stats pairs {other} and {(a, b)} both produce "
+                f"column {name!r}; rename the value columns"
+            )
+    for a, b in cross_stats:
+        for a2 in value_vars:
+            for b2 in value_vars:
+                if (a2, b2) != (a, b) and f"sumxy_{a2}_{b2}" == f"sumxy_{a}_{b}":
+                    raise RoleValidationError(
+                        f"value names make cross_stats column sumxy_{a}_{b} "
+                        f"ambiguous with pair ({a2!r}, {b2!r}); rename them"
+                    )
     if width <= 0:
         raise RoleValidationError("width must be a positive number of grid units")
     s, e = interval_vars
@@ -717,15 +737,20 @@ def finalize_rollup(
         if c.startswith("sumxy_"):
             pair = c[len("sumxy_"):]
             nxy = F.col(f"nobsxy_{pair}")
-            a, b = None, None
-            for v1 in value_vars:
-                if pair.startswith(v1 + "_"):
-                    cand_b = pair[len(v1) + 1:]
-                    if cand_b in value_vars:
-                        a, b = v1, cand_b
-                        break
-            if a is None:
+            matches = [
+                (v1, v2)
+                for v1 in value_vars
+                for v2 in value_vars
+                if f"sumxy_{v1}_{v2}" == c
+            ]
+            if len(matches) > 1:
+                raise RoleValidationError(
+                    f"column {c!r} is ambiguous between cross_stats pairs "
+                    f"{matches}; rename the value columns"
+                )
+            if not matches:
                 continue
+            a, b = matches[0]
             # cov over cells where BOTH values present; per-variable
             # means restricted to... the additive frame only carries
             # joint sums, so the exact covariance uses the JOINT means

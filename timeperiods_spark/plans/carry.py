@@ -52,13 +52,20 @@ SMALL_DOMAIN_ROWS = 1 << 18
 
 @dataclass
 class CarryPlan:
-    """A bucketing decision over one frame: ``df`` carries ``__bk``."""
+    """A bucketing decision over one frame: ``df`` carries ``__bk``.
+
+    ``lo``/``hi``/``est_groups`` echo the stats the plan used (hinted
+    or computed) so a second scan over the same keys can reuse them as
+    hints instead of paying another stats action."""
 
     df: DataFrame
     gcols: list[str]
     bucketed: bool
     empty: bool
     n_buckets: int
+    lo: Optional[int] = None
+    hi: Optional[int] = None
+    est_groups: Optional[int] = None
 
 
 def plan_buckets(
@@ -105,7 +112,8 @@ def plan_buckets(
         # groups x buckets carry frame would be broadcast poison —
         # decidable from the hint alone, no action
         return CarryPlan(
-            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
+            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1,
+            est_groups=int(group_count_hint),
         )
     need_bounds = bounds_hint is None
     need_groups = bool(gcols) and group_count_hint is None
@@ -137,11 +145,13 @@ def plan_buckets(
     est_groups = int(est_groups or 0)
     if rows_bounded_by_domain and (hi - lo + 1) <= SMALL_DOMAIN_ROWS:
         return CarryPlan(
-            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
+            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1,
+            lo=lo, hi=hi, est_groups=est_groups,
         )
     if gcols and est_groups >= guard:
         return CarryPlan(
-            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1
+            df.withColumn("__bk", F.lit(0).cast("long")), gcols, False, False, 1,
+            lo=lo, hi=hi, est_groups=est_groups,
         )
     if n_buckets is None:
         n_buckets = max(2, par * 4)
@@ -150,7 +160,9 @@ def plan_buckets(
     out = df.withColumn(
         "__bk", ((F.col(t_col) - F.lit(lo)) / F.lit(width)).cast("long")
     )
-    return CarryPlan(out, gcols, True, False, n_buckets)
+    return CarryPlan(
+        out, gcols, True, False, n_buckets, lo=lo, hi=hi, est_groups=est_groups
+    )
 
 
 def attach_carry(

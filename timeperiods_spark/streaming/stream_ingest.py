@@ -291,6 +291,9 @@ def stream_dedup_ingest(
         r["deduped"].write.mode("append").parquet(out_dir)
         r["new_bands"].write.mode("append").parquet(bands_path)
         r["new_shingles"].write.mode("append").parquet(shingles_path)
+        # release the per-batch shingle cache: a long-running stream
+        # would otherwise accumulate one persisted frame per epoch
+        r["new_shingles"].unpersist()
 
     stream = spark.readStream.schema(schema).parquet(source_path)
     writer = stream.writeStream.foreachBatch(handle).option(
