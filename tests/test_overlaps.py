@@ -385,3 +385,28 @@ def test_find_gaps_preserves_date_type(spark):
     assert dict(gaps.dtypes)["s"] == "date" and dict(gaps.dtypes)["e"] == "date"
     got = [(r["s"], r["e"]) for r in gaps.collect()]
     assert got == [(d + dt.timedelta(days=5), d + dt.timedelta(days=9))]
+
+
+def test_interval_algebra_ungrouped(spark):
+    """Ungrouped paths (gcols=[]) of the union/difference sweeps and
+    sessionize — the always-bucketed branch of plans/carry.py."""
+    from timeperiods_spark import (
+        find_gaps,
+        interval_difference,
+        merge_intervals,
+        sessionize,
+    )
+
+    x = spark.createDataFrame([(1, 5), (4, 9), (20, 25)], "s int, e int")
+    m = sorted((r["s"], r["e"]) for r in merge_intervals(x, ("s", "e")).collect())
+    assert m == [(1, 9), (20, 25)]
+    y = spark.createDataFrame([(3, 6)], "s int, e int")
+    d = sorted(
+        (r["s"], r["e"]) for r in interval_difference(x, y, ("s", "e")).collect()
+    )
+    assert d == [(1, 2), (7, 9), (20, 25)]
+    g = sorted((r["s"], r["e"]) for r in find_gaps(x, ("s", "e"), span=(0, 30)).collect())
+    assert g == [(0, 0), (10, 19), (26, 30)]
+    ev = spark.createDataFrame([(0,), (5,), (100,)], "t int")
+    sids = {r["t"]: r["session_id"] for r in sessionize(ev, "t", 10).collect()}
+    assert sids == {0: 1, 5: 1, 100: 2}
