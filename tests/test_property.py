@@ -201,3 +201,43 @@ def test_sessionize_property(spark, rows):
             want[(g, t)] = sid
             prev = t
     assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+        min_size=1, max_size=8,
+    )
+)
+@settings(**_SPARK_SETTINGS)
+def test_gap_fill_interpolate_property(spark, obs):
+    """Linear interpolation == the closed-form model on random sparse
+    series: exact at observed periods, linear between anchors, NULL
+    outside the observed range."""
+    from timeperiods_spark.operators.rollup import gap_fill_interpolate
+
+    obs = sorted({p: v for p, v in obs}.items())  # unique periods
+    rows = [("g", p, p, p, float(v), 1) for p, v in obs]
+    df = spark.createDataFrame(
+        rows, "g string, period int, start int, end int, v double, xduration int"
+    )
+    span = (0, 30)
+    out = gap_fill_interpolate(df, ["v"], ["g"], width=1, span=span)
+    got = {r["period"]: r["v_interp"] for r in out.collect()}
+    ps = [p for p, _ in obs]
+    vs = {p: float(v) for p, v in obs}
+    for q in range(span[0], span[1] + 1):
+        if q in vs:
+            want = vs[q]
+        elif q < ps[0] or q > ps[-1]:
+            want = None
+        else:
+            import bisect
+
+            i = bisect.bisect_right(ps, q)
+            p0, p1 = ps[i - 1], ps[i]
+            want = vs[p0] + (vs[p1] - vs[p0]) * (q - p0) / (p1 - p0)
+        if want is None:
+            assert got[q] is None, (q, got[q])
+        else:
+            assert got[q] is not None and abs(got[q] - want) < 1e-9, (q, got[q], want)
