@@ -1799,7 +1799,9 @@ def q_cosine_lsh(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk_lsh(emb, queries_df, k=10, dim=64, n_planes=6)
+    # probes=2 is the (measured-recall) library default — stated
+    # explicitly so the oracle's probe set below can never drift
+    out = cosine_topk_lsh(emb, queries_df, k=10, dim=64, n_planes=6, probes=2)
     return out.select(
         "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -1815,12 +1817,15 @@ WITH c AS (
 q AS (
   SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 5
 ),
+qp AS (
+  SELECT query_id, qv, unnest({srp_probe_buckets_sql('bucket', 6, 2)}) AS pb FROM q
+),
 scored AS (
-  SELECT q.query_id, c.vec_id,
+  SELECT DISTINCT q.query_id, c.vec_id,
          list_dot_product(c.v, q.qv) /
          (CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) > 0
                THEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)) END) AS cosine
-  FROM c JOIN q ON c.bucket = q.bucket
+  FROM c JOIN qp q ON c.bucket = q.pb
 )
 SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
@@ -1861,7 +1866,9 @@ def q_cosine_lsh_highdim(spark, sf_dir):
     queries_df = wide.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk_lsh(wide, queries_df, k=10, dim=1024, n_planes=16)
+    # probes=0 explicitly: this query pins the O(n_planes) plan shape
+    # at real width, not recall (the library default is probes=2)
+    out = cosine_topk_lsh(wide, queries_df, k=10, dim=1024, n_planes=16, probes=0)
     return out.select(
         "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -1908,7 +1915,7 @@ def q_cosine_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = cosine_topk_ivf(
-        emb, queries_df, k=10, dim=64, n_centroids=16, n_probe=4
+        emb, queries_df, k=10, dim=64, n_centroids=16, n_probe=8
     )
     return out.select(
         "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
@@ -1962,7 +1969,7 @@ QUALIFY rank <= 10
 """
 
 
-SQL_COSINE_IVF = _ivf_sql(64, 16, 4)
+SQL_COSINE_IVF = _ivf_sql(64, 16, 8)
 
 
 def q_embedding_neardup(spark, sf_dir):

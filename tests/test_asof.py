@@ -181,3 +181,20 @@ def test_asof_forward_tolerance(spark):
     }
     assert rows[95] == (1.0, 100)
     assert rows[50] == (None, None)  # 50 units ahead > tolerance
+
+
+def test_asof_duplicate_obs_times_deterministic(spark):
+    """Duplicate observation times within a bucket must resolve by the
+    same struct comparison the cross-bucket carry uses (max over the
+    __obs struct), independent of input row order (round-4 ADVICE: the
+    within-bucket window tied on (__t, __m) and picked arrival order)."""
+    rows = [("a", 5, 1.0), ("a", 5, 9.0), ("a", 5, 4.0)]
+    q = spark.createDataFrame([("a", 6)], "g string, t int")
+    got = set()
+    for perm in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        obs = spark.createDataFrame(perm, "g string, t int, v double")
+        # defeat any incidental ordering from createDataFrame slicing
+        obs = obs.repartition(4)
+        r = asof_join(q, obs, "t", ["v"], ["g"]).collect()[0]
+        got.add((r["v"], r["asof_t"]))
+    assert got == {(9.0, 5)}  # max struct: highest value at the tied time

@@ -198,3 +198,28 @@ def test_compact_twice_monotone_base_names(spark, catalog):
     ingest_batch(catalog, batches[1], IVARS, batch_id="b1")
     b2 = catalog.compact(spark, "daily")
     assert b1 != b2 and catalog.live_batches("daily") == [b2]
+
+
+def test_upsert_rejects_reserved_base_prefix(spark, catalog):
+    """User batch_ids may not squat on compact()'s __base namespace."""
+    batches, _ = _batches(spark, n_docs=300, n_batches=3)
+    with pytest.raises(ValueError, match="__base"):
+        ingest_batch(catalog, batches[0], IVARS, batch_id="__basefoo")
+
+
+def test_compact_tolerates_foreign_base_dirs(spark, catalog, tmp_path):
+    """A stray non-numeric __base* directory (pre-guard data, foreign
+    writer) must not brick compaction (round-4 ADVICE: int() on the
+    suffix raised ValueError)."""
+    import os
+
+    batches, _ = _batches(spark, n_docs=300, n_batches=3)
+    ingest_batch(catalog, batches[0], IVARS, batch_id="b0")
+    # plant a foreign dir directly in the tier's first pbucket
+    tier_path = catalog.tier_path("daily")
+    pb = next(d for d in os.listdir(tier_path) if d.startswith("pbucket="))
+    os.makedirs(os.path.join(tier_path, pb, "batch=__basejunk"), exist_ok=True)
+    name = catalog.compact(spark, "daily")
+    assert name == "__base0"
+    ingest_batch(catalog, batches[1], IVARS, batch_id="b1")
+    assert catalog.compact(spark, "daily") == "__base1"

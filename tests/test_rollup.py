@@ -593,3 +593,35 @@ def test_cross_stats_ambiguous_names_rejected(spark):
             df, ("s", "e"), ("x", "y_z", "x_y", "z"), None, width=1,
             partial=True, cross_stats=[("x_y", "z")],
         )
+
+
+def test_covariance_respects_required_percentage(spark):
+    """A period failing the coverage requirement must report NULL for
+    mean, variance, AND covariance together (round-4 ADVICE: cov was
+    only guarded by nobsxy > 0, so an under-covered period reported a
+    NULL mean with a non-NULL covariance)."""
+    import pyspark.sql.functions as F
+
+    from timeperiods_spark.operators.rollup import finalize_rollup, rollup_regular
+
+    # one interval covering 6 of 24 hours of day 0: 25% coverage
+    t = spark.createDataFrame(
+        [("s", 0, 5, 10.0, 3.0)],
+        "source string, start_hour int, end_hour int, a double, b double",
+    )
+    partials = rollup_regular(
+        t, ("start_hour", "end_hour"), ("a", "b"), ("source",),
+        width=24, partial=True, cross_stats=[("a", "b")],
+        extra_stats=["variance"],
+    )
+    strict = finalize_rollup(
+        partials, ("a", "b"), ("source",), width=24, required_percentage=50.0
+    ).collect()[0]
+    assert strict["a"] is None and strict["b"] is None
+    assert strict["a_var"] is None
+    assert strict["cov_a_b"] is None
+    loose = finalize_rollup(
+        partials, ("a", "b"), ("source",), width=24, required_percentage=25.0
+    ).collect()[0]
+    assert loose["a"] == pytest.approx(10.0)
+    assert loose["cov_a_b"] == pytest.approx(0.0)

@@ -262,3 +262,45 @@ def test_stream_dedup_ingest_equals_whole_corpus(spark, tmp_path):
         .select("doc_id").collect()
     }
     assert got == want
+
+
+def test_dedup_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """A crash-replayed foreachBatch epoch must not grow the persisted
+    index or the survivor output: epoch-keyed overwrite writes make the
+    replay rewrite its own files (round-4 ADVICE — append-mode index
+    writes duplicated (id, band) rows on every replay, inflating all
+    future candidate fan-out)."""
+    from timeperiods_spark.streaming.stream_ingest import dedup_ingest_epoch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "an entirely different document about streaming replay"),
+        ],
+        "doc_id long, text string",
+    )
+    args = dict(
+        id_col="doc_id", text_col="text",
+        index_dir=str(tmp_path / "idx"), out_dir=str(tmp_path / "out"),
+        verify_threshold=0.4,
+    )
+    dedup_ingest_epoch(spark, docs, 0, **args)
+
+    def snapshot():
+        bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
+        out = spark.read.parquet(str(tmp_path / "out"))
+        return (
+            sorted((r["id"], r["band"]) for r in bands.collect()),
+            sorted(r["doc_id"] for r in out.collect()),
+        )
+
+    first = snapshot()
+    # replay the SAME epoch (same batch, same epoch_id), as Structured
+    # Streaming does after a crash between the writes and the commit
+    dedup_ingest_epoch(spark, docs, 0, **args)
+    assert snapshot() == first
+    # no duplicate (id, band) index rows either
+    bands, survivors = first
+    assert len(bands) == len(set(bands))
+    assert survivors == [1, 3]

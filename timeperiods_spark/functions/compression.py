@@ -234,9 +234,42 @@ def gorilla_encode(periods: np.ndarray, values: np.ndarray) -> bytes:
 # ------------------------------------------------------------- decode
 
 
+def _gather_bits(bu: np.ndarray, q: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized extraction of ``width`` (1..64) MSB-first bits
+    starting at arbitrary bit offsets ``q`` of the byte buffer ``bu``
+    (which must be zero-padded by >= 9 bytes past the stream end)."""
+    byte_idx = (q >> 3).astype(np.int64)
+    off = (q & 7).astype(np.uint64)
+    win = bu[byte_idx[:, None] + np.arange(9)].astype(np.uint64)
+    hi = np.zeros(len(q), dtype=np.uint64)
+    for j in range(8):
+        hi |= win[:, j] << np.uint64(56 - 8 * j)
+    # 72-bit window: top 64 bits in hi, next 8 in win[:, 8]
+    word = (hi << off) | (win[:, 8] >> (np.uint64(8) - off))
+    return word >> np.uint64(64 - width)
+
+
 def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode one block → (periods int64, values float64 with NaN for
-    encoded NULLs). Sequential by nature (cold/read path)."""
+    encoded NULLs).
+
+    The stream is a prefix code whose token positions are
+    data-dependent, so decode is sequential IN GENERAL — but the two
+    dominant token shapes form fixed-stride runs that vectorize:
+
+    - run A ``'0' '0'`` (regular period, repeated value): 2 bits/point,
+      pure arithmetic fill;
+    - run B ``'0' '10'+w`` (regular period, dense values in the current
+      w-bit window): ``3+w`` bits/point; payloads gather in one fancy
+      index and the value chain is an XOR prefix scan
+      (``np.bitwise_xor.accumulate``).
+
+    A numpy mask finds the longest prefix matching the assumed shape;
+    the first non-matching point falls back to the scalar word-reader
+    loop (which alone handles window changes and irregular deltas). A
+    short cool-off after tiny runs keeps adversarial alternating
+    streams from paying one numpy dispatch per point — worst case is
+    the old scalar loop, common shapes are ~10x faster."""
     n = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -247,23 +280,85 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         np.frombuffer(blob[20 : 20 + nbytes], dtype=np.uint8)
     )[:n].astype(bool)
 
-    # Pure-Python-int token loop over the word reader: the stream is a
-    # prefix code whose token positions are data-dependent, so decode
-    # is sequential by nature; peek4() classifies each token in one
-    # read and take() pulls whole fields, so the cost is a handful of
-    # int ops per point instead of one loop iteration per BIT.
-    p_out = [0] * n
-    v_out = [0] * n
-    p_out[0] = first_p
-    v_out[0] = int(first_v)
+    p_arr = np.empty(n, dtype=np.int64)
+    v_arr = np.empty(n, dtype=np.uint64)
+    p_arr[0] = first_p
+    v_arr[0] = first_v
     if n > 1:
-        r = _BitReader(blob[20 + nbytes :])
+        stream = blob[20 + nbytes :]
+        r = _BitReader(stream)
         peek4, take, skip = r.peek4, r.take, r.skip
+        total_bits = 8 * len(stream)
+        bits = np.zeros(total_bits + 80, dtype=np.uint8)
+        if stream:
+            bits[:total_bits] = np.unpackbits(
+                np.frombuffer(stream, dtype=np.uint8)
+            )
+        bu = np.frombuffer(stream + b"\x00" * 17, dtype=np.uint8)
         delta = 0
         period = first_p
         vcur = int(first_v)
         prev_len, shift = -1, 0
-        for i in range(1, n):
+        i = 1
+        cooloff = 0
+        #: below this run length the numpy dispatch overhead loses to
+        #: the scalar loop; after such a run, stay scalar for a while
+        min_run = 8
+        while i < n:
+            pos = r.i
+            if cooloff == 0 and pos < total_bits and bits[pos] == 0:
+                rem = n - i
+                if bits[pos + 1] == 0:
+                    # candidate run A: stride 2. Cap the probe window:
+                    # the mask is O(kmax) work even when the run ends
+                    # after a few points, and a capped run that fills
+                    # the window just re-enters the fast path on the
+                    # next loop iteration at zero cost.
+                    kmax = min(rem, (total_bits - pos + 1) // 2, 4096)
+                    p = pos + 2 * np.arange(kmax, dtype=np.int64)
+                    ok = (bits[p] == 0) & (bits[p + 1] == 0)
+                    k = int(np.argmin(ok)) if not ok.all() else kmax
+                    if k > 0:
+                        p_arr[i : i + k] = period + delta * np.arange(
+                            1, k + 1, dtype=np.int64
+                        )
+                        v_arr[i : i + k] = np.uint64(vcur)
+                        period += delta * k
+                        r.i = pos + 2 * k
+                        i += k
+                        cooloff = 0 if k >= min_run else 16
+                        continue
+                elif prev_len > 0 and bits[pos + 2] == 0:
+                    # candidate run B: stride 3 + prev_len (probe
+                    # window capped like run A; windows rotate every
+                    # _SEG xors anyway, so longer probes buy nothing)
+                    s = 3 + prev_len
+                    kmax = min(rem, (total_bits - pos + s - 1) // s, 1024)
+                    if kmax > 0:
+                        p = pos + s * np.arange(kmax, dtype=np.int64)
+                        ok = (bits[p] == 0) & (bits[p + 1] == 1) & (
+                            bits[p + 2] == 0
+                        )
+                        k = int(np.argmin(ok)) if not ok.all() else kmax
+                        if k > 0:
+                            payloads = _gather_bits(bu, p[:k] + 3, prev_len)
+                            xors = payloads << np.uint64(shift)
+                            vals = np.uint64(vcur) ^ np.bitwise_xor.accumulate(
+                                xors
+                            )
+                            v_arr[i : i + k] = vals
+                            p_arr[i : i + k] = period + delta * np.arange(
+                                1, k + 1, dtype=np.int64
+                            )
+                            vcur = int(vals[-1])
+                            period += delta * k
+                            r.i = pos + s * k
+                            i += k
+                            cooloff = 0 if k >= min_run else 16
+                            continue
+            if cooloff:
+                cooloff -= 1
+            # ---- scalar step: one point via the word reader --------
             # timestamp: '0' | '10'+7 | '110'+9 | '1110'+12 | '1111'+64
             t = peek4()
             if t < 8:
@@ -283,7 +378,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
                     raw = take(64)
                     delta += raw - (1 << 64) if raw >= (1 << 63) else raw
             period += delta
-            p_out[i] = period
+            p_arr[i] = period
             # value: '0' | '10'+len bits | '11'+6b lead+6b len-1+bits
             t = peek4()
             if t < 8:
@@ -297,11 +392,11 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
                     prev_len = take(6) + 1
                     shift = 64 - lead - prev_len
                 vcur ^= take(prev_len) << shift
-            v_out[i] = vcur
-    periods = np.array(p_out, dtype=np.int64)
-    values = np.array(v_out, dtype=np.uint64).view(np.float64)
+            v_arr[i] = np.uint64(vcur)
+            i += 1
+    values = v_arr.view(np.float64)
     values[null_mask] = np.nan
-    return periods, values
+    return p_arr, values
 
 
 # -------------------------------------------------------- spark layer

@@ -197,7 +197,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*group_vars, "__bk")
-        .orderBy("__t", "__m")
+        # third sort key: duplicate observation times within a bucket
+        # must resolve by the same struct comparison the cross-bucket
+        # carry uses (max over __obs), not by arrival order — without
+        # it F.last over a (__t, __m)-tied frame is order-dependent
+        .orderBy("__t", "__m", F.col("__obs").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.coalesce(F.last("__obs", ignorenulls=True).over(w), F.col("__carry"))

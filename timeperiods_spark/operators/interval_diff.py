@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..errors import IntervalValidationError, RoleValidationError
 from ..plans.carry import attach_carry, plan_buckets
-from .interval_avg import _grid, _is_intervalish, _ungrid
+from .interval_avg import _grid, _is_intervalish, _sweep_checked_end, _ungrid
 
 
 def _deltas(df, interval_vars, group_vars, gcols, which: str):
@@ -31,7 +31,13 @@ def _deltas(df, interval_vars, group_vars, gcols, which: str):
     base = df.select(
         *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
         _grid(interval_vars[0], xf[interval_vars[0]]).alias("__s"),
-        _grid(interval_vars[1], xf[interval_vars[1]]).alias("__e"),
+        # row-local guard: NULL/reversed intervals raise in the first
+        # scan instead of silently corrupting the coverage sweep
+        _sweep_checked_end(
+            _grid(interval_vars[0], xf[interval_vars[0]]),
+            _grid(interval_vars[1], xf[interval_vars[1]]),
+            "interval_difference",
+        ).alias("__e"),
     )
     side = base.select(
         *gcols, F.explode(F.sequence(F.lit(0), F.lit(1))).alias("__i"), "__s", "__e"
@@ -60,7 +66,9 @@ def interval_difference(
     within each group: columns ``group_vars…, <start>, <end>``. Both
     frames share the interval/group column names; closed integer-grid
     semantics (a y interval removes exactly its cells; adjacent
-    remainders merge)."""
+    remainders merge). Invalid rows (NULL endpoint or end < start) in
+    either frame raise inside the first job that scans them via the
+    sweep guard — no silent coverage corruption."""
     group_vars = list(group_vars or [])
     if len(interval_vars) != 2:
         raise RoleValidationError("interval_vars must name exactly (start, end)")

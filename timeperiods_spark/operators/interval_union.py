@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..errors import IntervalValidationError, RoleValidationError
 from ..plans.carry import attach_carry, plan_buckets
-from .interval_avg import _grid, _is_intervalish, _ungrid
+from .interval_avg import _grid, _is_intervalish, _sweep_checked_end, _ungrid
 
 
 def merge_intervals(
@@ -39,9 +39,11 @@ def merge_intervals(
     ``group_vars…, <start>, <end>, n_source_intervals`` (how many input
     intervals the merged one absorbed). Integer or Date interval
     columns, NULL-free, ``end >= start`` (same contract as the rest of
-    the interval toolkit; invalid rows raise downstream via the
-    boundary arithmetic producing no coverage — validate with
-    ``check_no_overlaps``-style scans upstream when untrusted)."""
+    the interval toolkit). Invalid rows (NULL endpoint or end < start)
+    RAISE: a row-local guard is threaded into the sweep expressions, so
+    the error surfaces inside the first job that scans the input (a
+    ``SparkRuntimeException`` naming this operator) at no extra cost —
+    no silent negative-coverage corruption."""
     group_vars = list(group_vars or [])
     if len(interval_vars) != 2:
         raise RoleValidationError("interval_vars must name exactly (start, end)")
@@ -53,7 +55,11 @@ def merge_intervals(
     base = x.select(
         *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
         _grid(interval_vars[0], xf[interval_vars[0]]).alias("__xs"),
-        _grid(interval_vars[1], xf[interval_vars[1]]).alias("__xe"),
+        _sweep_checked_end(
+            _grid(interval_vars[0], xf[interval_vars[0]]),
+            _grid(interval_vars[1], xf[interval_vars[1]]),
+            "merge_intervals",
+        ).alias("__xe"),
     )
     # boundary deltas; __n counts source-interval starts per position
     side = base.select(

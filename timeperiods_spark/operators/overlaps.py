@@ -270,6 +270,13 @@ def running_max(
     ungrouped case, no longer serializes into a single window task.
     Equal leading-order values always share a bucket (the bucket is a
     pure function of that value), so the carry is exact.
+
+    A non-bucketable leading order type (string, decimal, …) falls back
+    to plain per-group windows, whose parallelism is the number of
+    groups — fine for a real panel, but UNGROUPED it would be a single
+    task over the whole frame, so that combination raises: provide an
+    integer/date leading order column (e.g. a precomputed sort key) or
+    group the scan.
     """
     group_by = list(group_by or [])
     order_by = list(order_by)
@@ -282,7 +289,17 @@ def running_max(
         "tinyint", "smallint", "int", "bigint", "date",
     )
     if not bucketable:
-        w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(*order_by).rowsBetween(
+        if not group_by:
+            raise RoleValidationError(
+                "running_max: ungrouped scan with a non-bucketable "
+                f"leading order column ({lead_type or 'expression'}) "
+                "would run as ONE window task over the whole frame. "
+                "Provide an integer/date leading order column (a "
+                "precomputed sort key) or pass group_by."
+            )
+        # grouped: per-group windows — parallelism = number of groups,
+        # the standard many-group shape the carry planner also picks
+        w = Window.partitionBy(*group_by).orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, 0
         )
         return df.withColumn(out_name, F.max(col).over(w))

@@ -762,8 +762,13 @@ def finalize_rollup(
             mean_a = F.col(f"sumprod_{a}") / F.col(f"nobs_{a}")
             mean_b = F.col(f"sumprod_{b}") / F.col(f"nobs_{b}")
             cov = F.col(c) / nxy - mean_a * mean_b
+            # same coverage mask as the means/variances, applied to the
+            # PAIRWISE support: a period whose mean/var fail the
+            # required_percentage must not report a covariance either
             cols.append(
-                F.when(nxy > 0, cov).cast("double").alias(f"cov_{pair}")
+                F.when(
+                    (nxy > 0) & (F.lit(100.0) * nxy / ydur >= req), cov
+                ).cast("double").alias(f"cov_{pair}")
             )
     for v in value_vars:
         if f"sumsq_{v}" in partials.columns:

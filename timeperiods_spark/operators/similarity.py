@@ -202,14 +202,17 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_planes: int = 8,
     partial_topk: bool = True,
-    probes: int = 0,
+    probes: int = 2,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, rank only within the
     query's bucket(s). Same output shape as cosine_topk; recall < 1 by
     construction (cross-bucket neighbors are missed). ``probes=1``
     multi-probes each query into all buckets one plane-flip away —
     ~(n_planes+1)x the candidate volume for a large recall gain; the
-    fan-out rides on the (small, broadcast) query side only."""
+    fan-out rides on the (small, broadcast) query side only. The
+    default is the measured-recall setting (probes=2 ≈ 0.64 recall@10
+    on the 64-dim bench corpus vs 0.47 at probes=0 — BENCH extras);
+    pass probes=0 explicitly for the cheapest own-bucket-only scan."""
     from ..functions.grid import spread_input
 
     c = spread_input(corpus).select(
@@ -304,7 +307,7 @@ def cosine_topk_ivf(
     k: int = 10,
     dim: int = 64,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     partial_topk: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: every corpus vector lives

@@ -45,6 +45,7 @@ per-partition lineage.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -133,6 +134,14 @@ class TierCatalog:
         """Add one batch's additive partials as a delta. Idempotent:
         re-running the same batch_id overwrites exactly its own
         (pbucket, batch) partitions and nothing else."""
+        if batch_id.startswith(BASE_BATCH):
+            # the __base<n> namespace is reserved for compact(): a user
+            # batch like "__basefoo" would make compact's generation
+            # parse ambiguous (and could be clobbered by a future base)
+            raise ValueError(
+                f"batch_id may not start with the reserved prefix "
+                f"{BASE_BATCH!r} (compaction namespace)"
+            )
         path = self.tier_path(tier)
         # cluster rows by target partition before writing: without this,
         # every task opens a file in every pbucket dir (tasks x buckets
@@ -246,9 +255,14 @@ class TierCatalog:
         # any new files land)
         merged = self.read_partials(spark, tier).localCheckpoint(eager=True)
         # unique, monotone base name: readers can never have seen it
+        # only __base / __base<digits> participate in the generation
+        # count — a stray non-numeric suffix (pre-guard data, foreign
+        # writer) must not brick compaction for the tier
         gen = 1 + max(
-            (int(b[len(BASE_BATCH):] or 0) for b in self._present_batches(tier)
-             if b.startswith(BASE_BATCH)),
+            (int(m.group(1) or 0) for m in (
+                re.match(re.escape(BASE_BATCH) + r"(\d*)$", b)
+                for b in self._present_batches(tier)
+            ) if m),
             default=-1,
         )
         base_name = f"{BASE_BATCH}{gen}"

@@ -229,6 +229,70 @@ def sessionized_rollup_stream(
     )
 
 
+def dedup_ingest_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    out_dir: str,
+    k: int = 5,
+    n_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.7,
+) -> None:
+    """One micro-batch of incremental near-dup ingestion, IDEMPOTENT
+    under crash replay: every write (survivors, band index, shingle
+    index) lands under an ``__epoch=<id>`` subdirectory with
+    ``mode("overwrite")``, so a replayed epoch overwrites its own files
+    instead of appending a second copy. Without this a replay would
+    permanently duplicate the epoch's index rows — the index grows and
+    the candidate/verify fan-out inflates on every future batch.
+    (Iceberg equivalent: MERGE on (id, band) or a snapshot-id commit
+    check.) Replay also re-runs the dedup against an index that may
+    already contain this batch's signatures, which only ADDS
+    self-matches with id_a < id_b — all batch-internal pairs already
+    found — so the survivor set is unchanged too."""
+    import os
+
+    from ..operators.dedup import minhash_dedup_incremental
+
+    bands_path = os.path.join(index_dir, "bands")
+    shingles_path = os.path.join(index_dir, "shingles")
+
+    def _read_index(path: str) -> DataFrame:
+        # epoch dirs are partition-discovered as a __epoch column —
+        # strip it back off; the index consumers key on (id, band)
+        return spark.read.parquet(path).drop("__epoch")
+
+    def _epoch_write(df: DataFrame, root: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, f"__epoch={int(epoch_id)}")
+        )
+
+    have_index = os.path.isdir(bands_path)
+    r = minhash_dedup_incremental(
+        batch_df,
+        id_col,
+        text_col,
+        index_bands=_read_index(bands_path) if have_index else None,
+        index_shingles=_read_index(shingles_path) if have_index else None,
+        k=k,
+        n_hashes=n_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        broadcast_batch=True,
+    )
+    _epoch_write(r["deduped"], out_dir)
+    _epoch_write(r["new_bands"], bands_path)
+    _epoch_write(r["new_shingles"], shingles_path)
+    # release the per-batch shingle cache: a long-running stream would
+    # otherwise accumulate one persisted frame per epoch
+    r["new_shingles"].unpersist()
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     source_path: str,
@@ -247,53 +311,34 @@ def stream_dedup_ingest(
 ) -> StreamingQuery:
     """Streaming incremental near-dup ingestion: every micro-batch is
     deduplicated against the PERSISTED MinHash band index (plus itself)
-    via ``operators.dedup.minhash_dedup_incremental``, survivors append
-    to ``out_dir``, and the batch's signatures (survivors AND dropped —
-    required for whole-corpus equivalence) append to the index. The
-    streaming checkpoint gives exactly-once file consumption; with
-    monotone doc ids the accumulated output equals the whole-corpus
-    single_hop dedup at every point in time.
+    via ``operators.dedup.minhash_dedup_incremental``, survivors land
+    in ``out_dir``, and the batch's signatures (survivors AND dropped —
+    required for whole-corpus equivalence) extend the index. The
+    streaming checkpoint gives exactly-once file consumption, and every
+    write is epoch-keyed (see ``dedup_ingest_epoch``) so a crash-replayed
+    epoch overwrites its own output instead of duplicating index rows;
+    with monotone doc ids the accumulated output equals the
+    whole-corpus single_hop dedup at every point in time.
 
     Index layout: ``<index_dir>/bands`` (id, band, bsig) and
-    ``<index_dir>/shingles`` (id, hashes), plain append parquet —
-    partition/bucket by (band, hash(bsig)) at real scale.
+    ``<index_dir>/shingles`` (id, hashes), parquet partitioned by
+    ``__epoch`` — partition/bucket by (band, hash(bsig)) at real scale.
     """
-    import os
-
-    from ..operators.dedup import minhash_dedup_incremental
-
-    bands_path = os.path.join(index_dir, "bands")
-    shingles_path = os.path.join(index_dir, "shingles")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        have_index = os.path.isdir(bands_path)
-        r = minhash_dedup_incremental(
+        dedup_ingest_epoch(
+            spark,
             batch_df,
-            id_col,
-            text_col,
-            index_bands=spark.read.parquet(bands_path) if have_index else None,
-            index_shingles=(
-                spark.read.parquet(shingles_path) if have_index else None
-            ),
+            epoch_id,
+            id_col=id_col,
+            text_col=text_col,
+            index_dir=index_dir,
+            out_dir=out_dir,
             k=k,
             n_hashes=n_hashes,
             bands=bands,
             verify_threshold=verify_threshold,
-            broadcast_batch=True,
         )
-        # order matters for crash replay: survivors first, then the
-        # index append — a replayed epoch re-runs the dedup against an
-        # index that may already contain this batch's signatures, which
-        # only ADDS self-matches with id_a < id_b … all of which are
-        # batch-internal pairs already found; the survivor set is
-        # unchanged, so the rewrite is idempotent at the row level
-        # (dedup the out_dir on id downstream if exact once matters).
-        r["deduped"].write.mode("append").parquet(out_dir)
-        r["new_bands"].write.mode("append").parquet(bands_path)
-        r["new_shingles"].write.mode("append").parquet(shingles_path)
-        # release the per-batch shingle cache: a long-running stream
-        # would otherwise accumulate one persisted frame per epoch
-        r["new_shingles"].unpersist()
 
     stream = spark.readStream.schema(schema).parquet(source_path)
     writer = stream.writeStream.foreachBatch(handle).option(
