@@ -2020,6 +2020,87 @@ SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM wv WHERE cos >= 0.6
 """
 
 
+def q_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash dedup against a persisted chunk index
+    (VERDICT r3 item 5 family): docs below 250 bootstrap the index;
+    the batch above probes it plus itself. With max_hamming=7 <
+    bands=8 the banded candidate join is EXACT (pigeonhole), so the
+    DuckDB twin states whole-corpus survivors brute-force over full
+    fingerprints (union formulation, monotone ids)."""
+    from timeperiods_spark.operators.dedup import (
+        build_simhash_index,
+        simhash_dedup_incremental,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_c, idx_f = build_simhash_index(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text",
+        k=5, bits=64, bands=8,
+    )
+    r = simhash_dedup_incremental(
+        docs.filter(F.col("doc_id") >= 250), "doc_id", "text",
+        index_chunks=idx_c, index_fingerprints=idx_f,
+        k=5, bits=64, bands=8, max_hamming=7, broadcast_batch=True,
+    )
+    return r["deduped"].select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_SIMHASH_INCREMENTAL = f"""
+WITH pr AS ({SQL_SIMHASH_PAIRS})
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+WHERE doc_id >= 250
+  AND doc_id NOT IN (SELECT id_b FROM pr)
+"""
+
+
+def q_embedding_incremental(spark, sf_dir):
+    """Incremental embedding dedup against a persisted SRP index
+    (VERDICT r3 item 5, the embedding mirror of
+    minhash_dedup_incremental): originals below vec_id 250 bootstrap
+    the index (ALL buckets+vectors, survivors and dropped); the batch
+    (originals >= 250 plus scaled near-dup copies at +100000) probes
+    it plus itself. With monotone ids this reproduces EXACTLY the
+    whole-corpus embedding_neardup_pairs single-hop survivor set —
+    which is what the DuckDB twin computes (union formulation: all
+    pairs over the full corpus, batch ids minus pair losers)."""
+    from timeperiods_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_dedup_incremental,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    idx_b, idx_v = build_embedding_index(
+        emb.filter(F.col("vec_id") < 250), "vec_id", "embedding",
+        dim=64, n_planes=8,
+    )
+    batch = emb.filter(F.col("vec_id") >= 250).unionByName(copies)
+    r = embedding_dedup_incremental(
+        batch, "vec_id", "embedding",
+        index_buckets=idx_b, index_vectors=idx_v,
+        dim=64, n_planes=8, threshold=0.6, probes=1,
+        broadcast_batch=True,
+    )
+    return r["deduped"].select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
+SQL_EMBEDDING_INCREMENTAL = f"""
+WITH pr AS ({SQL_EMBEDDING_NEARDUP})
+SELECT CAST(bid AS BIGINT) AS vec_id FROM (
+  SELECT vec_id AS bid FROM embeddings WHERE vec_id >= 250
+  UNION ALL
+  SELECT vec_id + 100000 AS bid FROM embeddings WHERE vec_id < 20
+)
+WHERE bid NOT IN (SELECT id_b FROM pr)
+"""
+
+
 def q_textops(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2088,11 +2169,13 @@ _PIPELINE_QUERIES = {
     "minhash_dedup_incremental": q_minhash_incremental,
     "simhash_fingerprints": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_dedup_incremental": q_simhash_incremental,
     "cosine_topk_bruteforce": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_lsh,
     "cosine_topk_lsh_highdim": q_cosine_lsh_highdim,
     "cosine_topk_ivf": q_cosine_ivf,
     "embedding_neardup_pairs": q_embedding_neardup,
+    "embedding_dedup_incremental": q_embedding_incremental,
     "text_analysis": q_textops,
 }
 
@@ -2104,10 +2187,12 @@ _PIPELINE_ORACLES = {
     "minhash_dedup_incremental": SQL_MINHASH_INCREMENTAL,
     "simhash_fingerprints": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "simhash_dedup_incremental": SQL_SIMHASH_INCREMENTAL,
     "cosine_topk_bruteforce": SQL_COSINE_TOPK,
     "cosine_topk_lsh": SQL_COSINE_LSH,
     "cosine_topk_lsh_highdim": SQL_COSINE_LSH_HIGHDIM,
     "cosine_topk_ivf": SQL_COSINE_IVF,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
+    "embedding_dedup_incremental": SQL_EMBEDDING_INCREMENTAL,
     "text_analysis": SQL_TEXTOPS,
 }

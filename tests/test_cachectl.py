@@ -1,0 +1,98 @@
+"""Managed cache lifecycle (VERDICT r3 item 6): operators that persist
+intermediates must not grow the storage pool without bound across
+repeated calls in a long-lived session."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeperiods_spark.plans import cachectl
+
+
+def _n_cached(spark) -> int:
+    """Number of RDDs currently holding cached blocks (DataFrame
+    persist materializes through these)."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _wait_cached_at_most(spark, n: int, timeout: float = 10.0) -> int:
+    """unpersist(blocking=False) is async — poll briefly."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        c = _n_cached(spark)
+        if c <= n:
+            return c
+        time.sleep(0.2)
+    return _n_cached(spark)
+
+
+@pytest.fixture()
+def clean_caches(spark):
+    cachectl.release()
+    spark.catalog.clearCache()
+    _wait_cached_at_most(spark, 0)
+    yield
+    cachectl.release()
+    spark.catalog.clearCache()
+
+
+def _intervals(spark, seed: int):
+    return spark.range(200).select(
+        (F.col("id") % 7).cast("int").alias("g"),
+        ((F.col("id") * 13 + seed) % 500).cast("int").alias("s"),
+        ((F.col("id") * 13 + seed) % 500 + 1 + (F.col("id") % 9)).cast("int").alias("e"),
+        F.col("id").cast("double").alias("v"),
+    )
+
+
+def test_repeated_calls_bounded_storage(spark, clean_caches):
+    """N repeated remove_overlaps + merge_intervals calls hold at most
+    one cached intermediate per call-site, not N."""
+    from timeperiods_spark.operators.interval_union import merge_intervals
+    from timeperiods_spark.operators.overlaps import remove_overlaps
+
+    high_water = 0
+    for i in range(4):
+        remove_overlaps(
+            _intervals(spark, i), ["s", "e"], group_vars=["g"]
+        ).count()
+        merge_intervals(
+            _intervals(spark, i), ["s", "e"], group_vars=["g"]
+        ).count()
+        high_water = max(high_water, _n_cached(spark))
+    # two managed tags (remove_overlaps.base, merge_intervals.deltas);
+    # async unpersist may briefly hold one stale frame per tag
+    assert high_water <= 4, f"storage pool grew to {high_water} cached RDDs"
+    assert sorted(cachectl.managed_tags()) == [
+        "merge_intervals.deltas",
+        "remove_overlaps.base",
+    ]
+    released = cachectl.release()
+    assert released == 2
+    assert cachectl.managed_tags() == []
+    assert _wait_cached_at_most(spark, 0) == 0
+
+
+def test_release_single_tag(spark, clean_caches):
+    df = spark.range(10).select(F.col("id").alias("x"))
+    cachectl.managed_persist(df, "t.a").count()
+    cachectl.managed_persist(df.select("x"), "t.b").count()
+    assert cachectl.release("t.a") == 1
+    assert cachectl.managed_tags() == ["t.b"]
+    assert cachectl.release() == 1
+
+
+def test_managed_persist_replaces_previous(spark, clean_caches):
+    a = spark.range(50).select(F.col("id").alias("x"))
+    first = cachectl.managed_persist(a, "t.replace")
+    first.count()
+    second = cachectl.managed_persist(
+        spark.range(60).select(F.col("id").alias("x")), "t.replace"
+    )
+    second.count()
+    assert cachectl.managed_tags() == ["t.replace"]
+    # the replaced frame is scheduled for unpersist; only the new one stays
+    assert _wait_cached_at_most(spark, 1) == 1

@@ -82,15 +82,30 @@ def test_running_max_ungrouped_not_single_task(spark, series):
     assert "hashpartitioning(__bk" in p, p[:1200]
 
 
-def test_running_max_non_numeric_order_falls_back(spark):
+def test_running_max_non_numeric_order_raises_ungrouped(spark):
+    """Ungrouped + non-bucketable order column would serialize to one
+    window task; the operator now raises with guidance (VERDICT r3
+    item 7) instead of silently degrading. Grouped calls still accept
+    string order columns (per-group windows)."""
+    import pytest
+
+    from timeperiods_spark.errors import RoleValidationError
+
     df = spark.createDataFrame(
         [("a", 2.0), ("b", 1.0), ("c", 3.0)], "k string, v double"
     )
+    with pytest.raises(RoleValidationError, match="non-bucketable"):
+        running_max(df, "v", ["k"])
+
+    grouped = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 1.0), (2, "a", 3.0)],
+        "g int, k string, v double",
+    )
     rows = {
-        r["k"]: r["v_cummax"]
-        for r in running_max(df, "v", ["k"]).collect()
+        (r["g"], r["k"]): r["v_cummax"]
+        for r in running_max(grouped, "v", ["k"], ["g"]).collect()
     }
-    assert rows == {"a": 2.0, "b": 2.0, "c": 3.0}
+    assert rows == {(1, "a"): 2.0, (1, "b"): 2.0, (2, "a"): 3.0}
 
 
 def test_empty_frame_flows_through(spark):

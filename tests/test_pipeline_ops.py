@@ -244,6 +244,130 @@ def test_embedding_neardup_finds_scaled_copies(spark):
         assert r["cosine"] >= 0.99
 
 
+def test_simhash_incremental_equals_whole_corpus(docs):
+    """batch1 → chunk index → batch2 probe reproduces the whole-corpus
+    SimHash single-hop survivor set. With max_hamming < bands the
+    banded join is EXACT (pigeonhole), so whole-corpus survivors are
+    computable brute-force here."""
+    from timeperiods_spark.operators.dedup import (
+        simhash_dedup_incremental,
+        simhash_frame,
+    )
+
+    fp = {r["id"]: r["simhash"] for r in simhash_frame(docs, "doc_id", "text").collect()}
+    ids = sorted(fp)
+    losers = {
+        b
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= 7
+    }
+    whole = set(ids) - losers
+
+    b1 = docs.filter("doc_id < 20")
+    b2 = docs.filter("doc_id >= 20")
+    r1 = simhash_dedup_incremental(b1, "doc_id", "text", max_hamming=7)
+    r2 = simhash_dedup_incremental(
+        b2, "doc_id", "text",
+        index_chunks=r1["new_chunks"],
+        index_fingerprints=r1["new_fingerprints"],
+        max_hamming=7, broadcast_batch=True,
+    )
+    inc = {
+        r["doc_id"]
+        for r in r1["deduped"].select("doc_id").unionByName(
+            r2["deduped"].select("doc_id")
+        ).collect()
+    }
+    assert inc == whole
+    assert r1["new_fingerprints"].count() == b1.count()
+    assert r2["new_chunks"].count() == b2.count() * 8
+
+
+def test_simhash_index_bootstrap_matches_incremental_frames(docs):
+    from timeperiods_spark.operators.dedup import (
+        build_simhash_index,
+        simhash_dedup_incremental,
+    )
+
+    idx_c, idx_f = build_simhash_index(docs, "doc_id", "text")
+    r = simhash_dedup_incremental(docs, "doc_id", "text")
+    assert sorted(tuple(x) for x in idx_c.collect()) == sorted(
+        tuple(x) for x in r["new_chunks"].collect()
+    )
+    assert sorted(tuple(x) for x in idx_f.collect()) == sorted(
+        tuple(x) for x in r["new_fingerprints"].collect()
+    )
+
+
+def test_embedding_incremental_equals_whole_corpus(spark):
+    """batch1 → SRP index → batch2 probe reproduces EXACTLY the
+    whole-corpus embedding single-hop survivor set (monotone ids;
+    VERDICT r3 item 5 — the embedding mirror of the MinHash test).
+    Probe symmetry: hamming(b_a, b_b) <= probes is symmetric, so
+    probing from the batch side finds the same pairs the whole-corpus
+    one-sided probe finds."""
+    from timeperiods_spark.operators.dedup import (
+        embedding_dedup_incremental,
+        embedding_neardup_pairs,
+    )
+
+    base = _embeddings(spark, n=60, dim=8)
+    copies = base.filter("vec_id < 15").selectExpr(
+        "vec_id + 1000 AS vec_id",
+        "transform(embedding, x -> x * 2.0) AS embedding",
+    )
+    allv = base.unionByName(copies)
+    pairs = embedding_neardup_pairs(
+        allv, "vec_id", "embedding", dim=8, n_planes=4,
+        threshold=0.8, probes=1,
+    )
+    losers = {r["id_b"] for r in pairs.collect()}
+    whole = {
+        r["vec_id"] for r in allv.select("vec_id").collect()
+    } - losers
+
+    b1 = allv.filter("vec_id < 30")
+    b2 = allv.filter("vec_id >= 30")
+    r1 = embedding_dedup_incremental(
+        b1, "vec_id", "embedding", dim=8, n_planes=4,
+        threshold=0.8, probes=1,
+    )
+    r2 = embedding_dedup_incremental(
+        b2, "vec_id", "embedding",
+        index_buckets=r1["new_buckets"], index_vectors=r1["new_vectors"],
+        dim=8, n_planes=4, threshold=0.8, probes=1, broadcast_batch=True,
+    )
+    inc = {
+        r["vec_id"]
+        for r in r1["deduped"].select("vec_id").unionByName(
+            r2["deduped"].select("vec_id")
+        ).collect()
+    }
+    assert inc == whole
+    # index frames cover EVERY batch vector, survivors and dropped
+    assert r1["new_vectors"].count() == b1.count()
+    assert r2["new_buckets"].count() == b2.count()
+
+
+def test_embedding_index_bootstrap_matches_incremental_frames(spark):
+    from timeperiods_spark.operators.dedup import (
+        build_embedding_index,
+        embedding_dedup_incremental,
+    )
+
+    base = _embeddings(spark, n=30, dim=8)
+    idx_b, idx_v = build_embedding_index(
+        base, "vec_id", "embedding", dim=8, n_planes=4
+    )
+    r = embedding_dedup_incremental(
+        base, "vec_id", "embedding", dim=8, n_planes=4, threshold=0.95
+    )
+    assert sorted(tuple(x) for x in idx_b.collect()) == sorted(
+        tuple(x) for x in r["new_buckets"].collect()
+    )
+
+
 def test_cosine_ivf_self_match_and_exact_scores(spark):
     from timeperiods_spark.operators.similarity import cosine_topk_ivf
 

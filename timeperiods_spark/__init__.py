@@ -29,18 +29,23 @@ from .operators.interval_diff import find_gaps, interval_difference
 from .operators.interval_union import merge_intervals
 from .operators.sessions import sessionize
 from .operators.dedup import (
+    build_embedding_index,
     build_minhash_index,
     connected_components,
+    embedding_dedup_incremental,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_dedup,
     minhash_dedup_incremental,
+    build_simhash_index,
     ngram_jaccard_pairs,
+    simhash_dedup_incremental,
     simhash_frame,
     simhash_pairs,
 )
 from .operators.asof import asof_join
+from .plans.cachectl import release as release_caches
 from .operators.similarity import (
     cosine,
     cosine_topk,
@@ -103,9 +108,14 @@ __all__ = [
     "minhash_dedup",
     "minhash_dedup_incremental",
     "build_minhash_index",
+    "build_embedding_index",
+    "embedding_dedup_incremental",
+    "release_caches",
     "connected_components",
     "simhash_frame",
     "simhash_pairs",
+    "build_simhash_index",
+    "simhash_dedup_incremental",
     "embedding_neardup_pairs",
     "cosine",
     "cosine_topk",

@@ -165,11 +165,12 @@ def asof_join(
     )
     stream = obs.unionByName(qs)
     if cache:
-        from pyspark import StorageLevel
+        from ..plans.cachectl import managed_persist
 
         # the stream feeds the bucket-bounds action plus two plan
-        # subtrees (per-bucket carry, bucket last-observations)
-        stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
+        # subtrees (per-bucket carry, bucket last-observations);
+        # managed: a repeat call releases the previous call's frame
+        stream = managed_persist(stream, "asof_join.stream")
 
     plan = plan_buckets(stream, group_vars, "__t", n_buckets=n_buckets)
     if plan.empty:

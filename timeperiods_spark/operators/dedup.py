@@ -118,9 +118,9 @@ def minhash_candidate_pairs(
     r = n_hashes // bands
     sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
     if cache_shingles and verify_threshold is not None:
-        from pyspark import StorageLevel
+        from ..plans.cachectl import managed_persist
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = managed_persist(sh, "minhash_candidate_pairs.shingles")
     # The band self-join and the pair dedup carry ONLY (id, band, bsig):
     # shipping the shingle-hash arrays (~doc length) through the band
     # exchange AND the dropDuplicates, multiplied by `bands`, is the
@@ -273,12 +273,14 @@ def minhash_dedup_incremental(
     )
     if cache:
         # the batch shingle frame feeds banding, the pair verify, and
-        # the returned new_shingles; callers in long-lived sessions
-        # should unpersist the returned "new_shingles" frame once
-        # materialized (stream_dedup_ingest does) or pass cache=False
-        from pyspark import StorageLevel
+        # the returned new_shingles; managed, so repeated batches hold
+        # at most one cached frame (stream_dedup_ingest additionally
+        # unpersists eagerly once the epoch is materialized)
+        from ..plans.cachectl import managed_persist
 
-        batch_sh = batch_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        batch_sh = managed_persist(
+            batch_sh, "minhash_dedup_incremental.shingles"
+        )
     batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
     if index_bands is None or index_shingles is None:
         # cold start: empty index with the right schemas
@@ -501,12 +503,317 @@ def embedding_neardup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def build_embedding_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    n_planes: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Bootstrap the persistable SRP index for incremental embedding
+    dedup: returns ``(index_buckets, index_vectors)`` — (id, bucket)
+    and (id, v) — the embedding-mode mirror of
+    :func:`build_minhash_index`. Write both to tables (partition the
+    bucket table by a hash of bucket at scale); nightly batches then
+    probe them via :func:`embedding_dedup_incremental` instead of
+    re-bucketing the whole corpus per batch."""
+    from .similarity import srp_bucket
+
+    base = spread_input(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    buckets = base.select(
+        "id", srp_bucket(F.col("v"), dim, n_planes).alias("bucket")
+    )
+    return buckets, base
+
+
+def embedding_dedup_incremental(
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    index_buckets: Optional[DataFrame] = None,
+    index_vectors: Optional[DataFrame] = None,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    probes: int = 1,
+    broadcast_batch: bool = False,
+    cache: bool = True,
+) -> dict:
+    """Deduplicate a NEW batch of embeddings against a persisted SRP
+    index — the embedding-mode mirror of
+    :func:`minhash_dedup_incremental` (VERDICT r3 item 5). Candidates
+    are (a) batch vectors whose multi-probe bucket set hits an INDEXED
+    vector's bucket and (b) batch-internal pairs; exact cosine verifies
+    candidates, and a batch vector is dropped when any verified match
+    has a smaller id (single_hop).
+
+    Equivalence with the whole-corpus :func:`embedding_neardup_pairs`
+    candidate set holds because "shares a bucket within ``probes``
+    plane flips" is hamming(bucket_a, bucket_b) <= probes — symmetric
+    in a/b — so probing from the batch side finds exactly the pairs the
+    whole-corpus one-sided probe finds. With monotonically growing ids
+    (the append-only production shape) batch-by-batch therefore yields
+    EXACTLY the whole-corpus survivor set; out-of-order batch ids
+    smaller than an indexed id are ignored (the published indexed
+    vector cannot be retroactively dropped).
+
+    Returns ``{"deduped", "new_buckets", "new_vectors"}`` — append the
+    latter two to the index tables (ALL batch rows, survivors and
+    dropped, for the same reason the MinHash path indexes both).
+    ``broadcast_batch=True`` hints the batch probe frame broadcast-able
+    (batch << corpus index), turning the index probe into a map-side
+    join over the index scan.
+    """
+    from .similarity import cosine, srp_bucket, srp_probe_buckets
+
+    batch = spread_input(new_batch).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if cache:
+        # feeds bucketing, the pair verify, and the returned
+        # new_vectors; managed so repeated calls in a long session
+        # don't accumulate persisted intermediates
+        from ..plans.cachectl import managed_persist
+
+        batch = managed_persist(batch, "embedding_dedup_incremental.batch")
+    batch_buckets = batch.select(
+        "id", srp_bucket(F.col("v"), dim, n_planes).alias("bucket")
+    )
+    if index_buckets is None or index_vectors is None:
+        if index_buckets is not None or index_vectors is not None:
+            raise ValueError("pass both index frames or neither")
+        index_buckets = batch_buckets.filter(F.lit(False))
+        index_vectors = batch.filter(F.lit(False))
+
+    probed = batch_buckets.select(
+        F.col("id").alias("id_b"),
+        F.explode(
+            srp_probe_buckets(F.col("bucket"), n_planes, probes)
+        ).alias("__pb"),
+    )
+    probe = F.broadcast(probed) if broadcast_batch else probed
+    cross = (
+        index_buckets.select(
+            F.col("id").alias("id_a"), F.col("bucket").alias("__ib")
+        )
+        .join(
+            probe,
+            (F.col("__ib") == F.col("__pb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    internal = (
+        batch_buckets.select(
+            F.col("id").alias("id_a"),
+            F.explode(
+                srp_probe_buckets(F.col("bucket"), n_planes, probes)
+            ).alias("__pb"),
+        )
+        .join(
+            batch_buckets.select(
+                F.col("id").alias("id_b"), F.col("bucket").alias("__ib")
+            ),
+            (F.col("__pb") == F.col("__ib")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+
+    all_vecs = index_vectors.select("id", "v").unionByName(
+        batch.select("id", "v")
+    )
+    withvecs = cand.join(
+        all_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")),
+        "id_a",
+    ).join(
+        batch.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")),
+        "id_b",
+    )
+    losers = (
+        withvecs.select(
+            "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return {
+        "deduped": new_batch.join(losers, id_col, "left_anti"),
+        "new_buckets": batch_buckets,
+        "new_vectors": batch,
+    }
+
+
 def simhash_frame(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 64
 ) -> DataFrame:
     """(id, simhash) — bit-majority fingerprint over shingle hashes."""
     sh = shingle_frame(df, id_col, text_col, k)
     return sh.select("id", TH.simhash_spark(F.col("hashes"), bits).alias("simhash"))
+
+
+def _simhash_chunk_frame(sf: DataFrame, bands: int, w: int) -> DataFrame:
+    """(id, band, chunk) rows from an (id, simhash) frame — the
+    persisted SimHash index layout (fingerprints live in their own
+    table, mirroring the MinHash band/shingle split)."""
+    return sf.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.chunk")
+
+
+def build_simhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    bits: int = 64,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Bootstrap the persistable SimHash index for incremental dedup:
+    returns ``(index_chunks, index_fingerprints)`` — (id, band, chunk)
+    and (id, simhash) — the SimHash mirror of
+    :func:`build_minhash_index`. Nightly batches probe them via
+    :func:`simhash_dedup_incremental` instead of re-fingerprinting the
+    whole corpus."""
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits)
+    return _simhash_chunk_frame(sf, bands, bits // bands), sf
+
+
+def simhash_dedup_incremental(
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    index_chunks: Optional[DataFrame] = None,
+    index_fingerprints: Optional[DataFrame] = None,
+    k: int = 5,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 3,
+    broadcast_batch: bool = False,
+    cache: bool = True,
+) -> dict:
+    """Deduplicate a NEW batch against a persisted SimHash index — the
+    SimHash mirror of :func:`minhash_dedup_incremental`. Candidates
+    are (a) batch docs sharing any band chunk with an INDEXED doc and
+    (b) batch-internal pairs; exact hamming (bit_count of xor over the
+    full fingerprints) verifies candidates, and a batch doc is dropped
+    when any verified match has a smaller id (single_hop).
+
+    "Shares a chunk at the same band" is symmetric, so probing from
+    the batch side finds exactly the pairs the whole-corpus
+    :func:`simhash_pairs` join finds; with ``max_hamming < bands``
+    the pigeonhole guarantee makes that pair set EXACTLY all pairs
+    within the distance, so batch-by-batch under monotone ids equals
+    the whole-corpus single-hop survivor set.
+
+    Returns ``{"deduped", "new_chunks", "new_fingerprints"}`` — append
+    both to the index tables (ALL batch docs, survivors and dropped)."""
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    w = bits // bands
+    batch_sf = simhash_frame(new_batch, id_col, text_col, k=k, bits=bits)
+    if cache:
+        # feeds chunking, the hamming verify, and the returned
+        # new_fingerprints; managed so repeated batches stay bounded
+        from ..plans.cachectl import managed_persist
+
+        batch_sf = managed_persist(
+            batch_sf, "simhash_dedup_incremental.fingerprints"
+        )
+    batch_chunks = _simhash_chunk_frame(batch_sf, bands, w)
+    if index_chunks is None or index_fingerprints is None:
+        if index_chunks is not None or index_fingerprints is not None:
+            raise ValueError("pass both index frames or neither")
+        index_chunks = batch_chunks.filter(F.lit(False))
+        index_fingerprints = batch_sf.filter(F.lit(False))
+
+    probe_src = batch_chunks.select(
+        F.col("id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("chunk").alias("chunk_b"),
+    )
+    probe = F.broadcast(probe_src) if broadcast_batch else probe_src
+    cross = (
+        index_chunks.select(
+            F.col("id").alias("id_a"),
+            F.col("band").alias("band_a"),
+            F.col("chunk").alias("chunk_a"),
+        )
+        .join(
+            probe,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    internal = (
+        batch_chunks.select(
+            F.col("id").alias("id_a"),
+            F.col("band").alias("band_a"),
+            F.col("chunk").alias("chunk_a"),
+        )
+        .join(
+            batch_chunks.select(
+                F.col("id").alias("id_b"),
+                F.col("band").alias("band_b"),
+                F.col("chunk").alias("chunk_b"),
+            ),
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+
+    all_sf = index_fingerprints.select("id", "simhash").unionByName(
+        batch_sf.select("id", "simhash")
+    )
+    withfp = cand.join(
+        all_sf.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a")),
+        "id_a",
+    ).join(
+        batch_sf.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b")),
+        "id_b",
+    )
+    losers = (
+        withfp.select(
+            "id_b",
+            F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).alias("h"),
+        )
+        .filter(F.col("h") <= max_hamming)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return {
+        "deduped": new_batch.join(losers, id_col, "left_anti"),
+        "new_chunks": batch_chunks,
+        "new_fingerprints": batch_sf,
+    }
 
 
 def simhash_pairs(

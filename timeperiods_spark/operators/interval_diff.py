@@ -91,10 +91,11 @@ def interval_difference(
     )
     if cache:
         # boundary-sized post-aggregate frame feeding two planner stats
-        # actions plus the main plan — scan both sources once
-        from pyspark import StorageLevel
+        # actions plus the main plan — scan both sources once;
+        # managed, so repeat calls release the previous frame
+        from ..plans.cachectl import managed_persist
 
-        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
+        deltas = managed_persist(deltas, "interval_difference.deltas")
 
     plan = plan_buckets(deltas, gcols, "__pos", group_count_hint=group_count_hint)
     excl = lambda wg: wg.rowsBetween(Window.unboundedPreceding, -1)  # noqa: E731

@@ -81,11 +81,11 @@ def merge_intervals(
     if cache:
         # the (boundary-sized, post-aggregate) delta frame feeds both
         # bucket-planner stats actions plus the main plan — persist so
-        # the raw input is scanned once (cache=False for long-lived
-        # sessions, as elsewhere in the toolkit)
-        from pyspark import StorageLevel
+        # the raw input is scanned once; managed, so repeat calls
+        # release the previous frame (cache=False opts out)
+        from ..plans.cachectl import managed_persist
 
-        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
+        deltas = managed_persist(deltas, "merge_intervals.deltas")
 
     plan = plan_buckets(
         deltas, gcols, "__pos", group_count_hint=group_count_hint

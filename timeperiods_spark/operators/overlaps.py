@@ -161,13 +161,13 @@ def remove_overlaps(
     # base feeds four subtrees (sweep bounds, per-bucket leads, bucket
     # firsts, and the join-back): persist so the upstream input is
     # computed once — at corpus scale it's (groups, 2 longs, payload)
-    # per interval, spilling to disk if needed. Long-lived sessions
-    # issuing many decompositions can pass cache=False to avoid
-    # accumulating cached blocks (same toggle as asof_join).
+    # per interval, spilling to disk if needed. Managed: a repeat call
+    # releases the previous call's frame, so long-lived sessions hold
+    # at most one cached melt (cache=False opts out entirely).
     if cache:
-        from pyspark import StorageLevel
+        from ..plans.cachectl import managed_persist
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = managed_persist(base, "remove_overlaps.base")
 
     # O21 — melt endpoints into a long event stream
     melted = base.select(*gcols, F.col("__xs").alias("__val"), F.lit(False).alias("__is_end")).unionByName(
