@@ -31,6 +31,9 @@ from timeperiods_spark import (  # noqa: E402
     finalize_rollup,
 )
 from timeperiods_spark.sources.tokens import (  # noqa: E402
+    H1,
+    N_TOK,
+    VOCAB,
     token_table,
     token_table_oracle_sql,
 )
@@ -2161,6 +2164,271 @@ WHERE doc_id >= 250
 """
 
 
+def q_pack_spans(spark, sf_dir):
+    """Concat-and-chunk span table over the deterministic token table:
+    each document's token interval [offset, offset+n_tok) clipped to
+    the 512-token training-window grid. The offset prefix-sum rides
+    the bucketed carry planner (no global window task); the oracle is
+    the same arithmetic as a DuckDB window sum + range unnest."""
+    from timeperiods_spark.operators.packing import pack_sequences
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False)
+    out = pack_sequences(t, "doc_id", "n_tok", chunk_len=512)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("seq_start").cast("long").alias("seq_start"),
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.col("chunk_off").cast("long").alias("chunk_off"),
+    )
+
+
+SQL_PACK_SPANS = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+o AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
+           ORDER BY CAST(doc_id AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok
+),
+s AS (
+  SELECT doc_id, n_tok, off,
+         unnest(range(CAST(off // 512 AS BIGINT),
+                      CAST((off + n_tok - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+  FROM o WHERE n_tok > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(GREATEST(0, chunk_id * 512 - off) AS BIGINT) AS seq_start,
+       CAST(LEAST(n_tok, (chunk_id + 1) * 512 - off)
+            - GREATEST(0, chunk_id * 512 - off) AS BIGINT) AS seq_len,
+       CAST(off + GREATEST(0, chunk_id * 512 - off)
+            - chunk_id * 512 AS BIGINT) AS chunk_off
+FROM s
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Assembled 256-token training windows packed PER SOURCE (grouped
+    independent streams). Array columns don't ship to the comparator:
+    the window content is pinned by its token sum, first/last token,
+    length, and contributing-doc count."""
+    from timeperiods_spark.operators.packing import pack_chunks
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False)
+    out = pack_chunks(
+        t, "doc_id", "tokens", "n_tok", chunk_len=256, group_by=["source"]
+    )
+    return out.select(
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "tok_sum"
+        ),
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", -1).cast("long").alias("last_tok"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+o AS (
+  SELECT source, doc_id, n_tok, tokens,
+         COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok
+),
+s AS (
+  SELECT source, doc_id, n_tok, tokens, off,
+         unnest(range(CAST(off // 256 AS BIGINT),
+                      CAST((off + n_tok - 1) // 256 + 1 AS BIGINT))) AS chunk_id
+  FROM o WHERE n_tok > 0
+),
+sp AS (
+  SELECT source, chunk_id,
+         CAST(GREATEST(0, chunk_id * 256 - off) AS BIGINT) AS seq_start,
+         CAST(LEAST(n_tok, (chunk_id + 1) * 256 - off)
+           - GREATEST(0, chunk_id * 256 - off) AS BIGINT) AS seq_len,
+         CAST(off + GREATEST(0, chunk_id * 256 - off)
+           - chunk_id * 256 AS BIGINT) AS chunk_off,
+         tokens
+  FROM s
+)
+SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(SUM(list_aggregate(tokens[(seq_start + 1):(seq_start + seq_len)],
+                               'sum')) AS BIGINT) AS tok_sum,
+       CAST(arg_min(tokens[seq_start + 1], chunk_off) AS BIGINT) AS first_tok,
+       CAST(arg_max(tokens[seq_start + seq_len],
+                    chunk_off + seq_len) AS BIGINT) AS last_tok,
+       CAST(SUM(seq_len) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sp
+GROUP BY source, chunk_id
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Vocab frequency per source (map-side explode + one combined
+    hash-agg exchange); the comparator sees the token<500 slice so the
+    row volume stays bounded while the counts still pin the corpus."""
+    from timeperiods_spark.operators.tokenstats import token_histogram
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False).withColumn(
+        # fold the vocab to 101 buckets so frequencies are meaningful
+        # (raw generator tokens are near-unique) and rows stay bounded
+        "tokens", F.transform("tokens", lambda x: x % 101)
+    )
+    out = token_histogram(t, "tokens", group_by=["source"])
+    return out.select(
+        "source",
+        F.col("token").cast("long").alias("token"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)})
+SELECT source, CAST(token AS BIGINT) AS token,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM (SELECT source, unnest(list_transform(tokens, x -> x % 101)) AS token
+      FROM tok)
+GROUP BY source, token
+"""
+
+
+def q_topk_tokens(spark, sf_dir):
+    """Exact per-source heavy hitters (two-phase rank: per-partition
+    pre-top-k then the output-domain window)."""
+    from timeperiods_spark.operators.tokenstats import (
+        token_histogram,
+        topk_per_group,
+    )
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False).withColumn(
+        "tokens", F.transform("tokens", lambda x: x % 101)
+    )
+    hist = token_histogram(t, "tokens", group_by=["source"])
+    out = topk_per_group(
+        hist, ["token"], F.sum("count"), group_by=["source"], k=5
+    )
+    return out.select(
+        "source",
+        F.col("token").cast("long").alias("token"),
+        F.col("measure").cast("long").alias("measure"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_TOPK_TOKENS = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+hist AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest(list_transform(tokens, x -> x % 101)) AS token
+        FROM tok)
+  GROUP BY source, token
+)
+SELECT source, CAST(token AS BIGINT) AS token, cnt AS measure,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source ORDER BY cnt DESC, token) AS BIGINT) AS rank
+FROM hist
+QUALIFY rank <= 5
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Train/test 8-gram decontamination (docs < 1500 train). The raw
+    generator can't exercise this: all docs share one token step, so
+    an 8-gram is determined by its start value and 1500 train docs
+    saturate the 50257-value space (everything reads contaminated).
+    The test split is therefore constructed: did%4==0 docs are EXACT
+    train-doc copies (frac_hit 1.0), did%4==1 docs take their first 16
+    tokens from a train doc and scramble the rest (partial hits), the
+    rest are fully scrambled (position-quadratic + doc-keyed, so no
+    arithmetic-progression gram can match: ~0 hits). Both engines
+    build the identical split from the same integer arithmetic."""
+    from timeperiods_spark.operators.tokenstats import ngram_contamination
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False).withColumn(
+        "did", F.col("doc_id").cast("long")
+    )
+    train = t.filter(F.col("did") < 1500)
+    src_tok = (
+        f"transform(sequence(1, {N_TOK}), "
+        f"i -> CAST((({H1}) + i * 69621) % {VOCAB} AS INT))"
+    ).replace("doc_id", "src_did")
+    scr = (
+        "transform(sequence(1, CAST(n_tok AS INT)), "
+        "i -> CAST((CAST(element_at(tokens, i) AS BIGINT) * 7 + i * i + did)"
+        " % 50257 AS INT))"
+    )
+    test = (
+        t.filter(F.col("did") >= 1500)
+        .withColumn("src_did", F.col("did") - 1400)
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN did % 4 = 0 THEN {src_tok} "
+            f"WHEN did % 4 = 1 THEN concat(slice({src_tok}, 1, 16), "
+            f"slice({scr}, 17, CAST(n_tok AS INT))) "
+            f"ELSE {scr} END AS tokens",
+        )
+    )
+    out = ngram_contamination(test, train, "tokens", "doc_id", n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round("frac_hit", _R).alias("frac_hit"),
+    )
+
+
+_DUCK_SRC_TOK = (
+    f"list_transform(range(1, {N_TOK} + 1), "
+    f"i -> CAST((({H1}) + i * 69621) % {VOCAB} AS INT))"
+).replace("doc_id", "src_did")
+_DUCK_SCR = (
+    "list_transform(range(1, CAST(n_tok AS BIGINT) + 1), "
+    "i -> CAST((CAST(tokens[i] AS BIGINT) * 7 + i * i + did)"
+    " % 50257 AS INT))"
+)
+
+SQL_CONTAMINATION = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+tok2 AS (SELECT *, CAST(doc_id AS BIGINT) AS did FROM tok),
+train AS (SELECT tokens FROM tok2 WHERE did < 1500),
+test AS (
+  SELECT doc_id,
+         CASE WHEN did % 4 = 0 THEN {_DUCK_SRC_TOK}
+              WHEN did % 4 = 1 THEN list_concat(
+                  ({_DUCK_SRC_TOK})[1:16],
+                  ({_DUCK_SCR})[17:CAST(n_tok AS BIGINT)])
+              ELSE {_DUCK_SCR} END AS tokens
+  FROM (SELECT *, did - 1400 AS src_did FROM tok2 WHERE did >= 1500)
+),
+tg AS (
+  SELECT DISTINCT doc_id, tokens[g:(g + 7)] AS ngram
+  FROM test, LATERAL unnest(range(1, CAST(len(tokens) AS BIGINT) - 6)) AS u(g)
+  WHERE len(tokens) >= 8
+),
+trg AS (
+  SELECT DISTINCT tokens[g:(g + 7)] AS ngram
+  FROM train, LATERAL unnest(range(1, CAST(len(tokens) AS BIGINT) - 6)) AS u(g)
+  WHERE len(tokens) >= 8
+)
+SELECT CAST(tg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN trg.ngram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN trg.ngram IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS frac_hit
+FROM tg LEFT JOIN trg ON tg.ngram = trg.ngram
+GROUP BY tg.doc_id
+"""
+
+
 _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2177,6 +2445,11 @@ _PIPELINE_QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup,
     "embedding_dedup_incremental": q_embedding_incremental,
     "text_analysis": q_textops,
+    "pack_sequences_spans": q_pack_spans,
+    "pack_chunks_by_source": q_pack_chunks,
+    "token_histogram_by_source": q_token_histogram,
+    "topk_tokens_per_source": q_topk_tokens,
+    "ngram_contamination_check": q_contamination,
 }
 
 _PIPELINE_ORACLES = {
@@ -2194,5 +2467,10 @@ _PIPELINE_ORACLES = {
     "cosine_topk_ivf": SQL_COSINE_IVF,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP,
     "embedding_dedup_incremental": SQL_EMBEDDING_INCREMENTAL,
+    "pack_sequences_spans": SQL_PACK_SPANS,
+    "pack_chunks_by_source": SQL_PACK_CHUNKS,
+    "token_histogram_by_source": SQL_TOKEN_HISTOGRAM,
+    "topk_tokens_per_source": SQL_TOPK_TOKENS,
+    "ngram_contamination_check": SQL_CONTAMINATION,
     "text_analysis": SQL_TEXTOPS,
 }

@@ -62,6 +62,33 @@ def test_broadcast_y_uses_broadcast_hash_join(xy):
     assert "CartesianProduct" not in p
 
 
+def test_auto_switches_to_bin_on_large_cross_estimate(xy):
+    """auto is data-aware (sf1.0 regression: unconditional group_equi
+    ran a 20-group x 750k-interval panel at 97x the sf0.1 wall): with
+    a candidate-volume estimate above AUTO_BIN_PAIRS the plan must be
+    the bin join (explode + equi join, no per-group cross). The
+    explode node only exists on the bin path, so its presence pins the
+    choice; results stay identical across strategies (test_golden)."""
+    x, y = xy
+    big = (10_000_000, 10_000_000, 2)  # 5e13 est. pairs >> threshold
+    p = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), ("g",),
+            validate=False, assume_y_distinct=True, join_stats=big,
+        )
+    )
+    assert "Generate" in p and "explode" in p.lower()
+    assert "CartesianProduct" not in p
+    small = (100, 100, 2)
+    p2 = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), ("g",),
+            validate=False, assume_y_distinct=True, join_stats=small,
+        )
+    )
+    assert "explode" not in p2.lower()
+
+
 def test_bin_join_never_cartesian(spark):
     x = spark.createDataFrame([(0, 9, 1.0), (10, 19, 2.0)], "s long, e long, v double")
     y = spark.createDataFrame([(0, 4), (5, 9)], "s long, e long")

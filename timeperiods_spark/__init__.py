@@ -45,6 +45,13 @@ from .operators.dedup import (
     simhash_pairs,
 )
 from .operators.asof import asof_join
+from .operators.packing import pack_chunks, pack_sequences
+from .operators.tokenstats import (
+    ngram_contamination,
+    token_histogram,
+    token_ngram_counts,
+    topk_per_group,
+)
 from .plans.cachectl import release as release_caches
 from .operators.similarity import (
     cosine,
@@ -116,6 +123,12 @@ __all__ = [
     "simhash_pairs",
     "build_simhash_index",
     "simhash_dedup_incremental",
+    "pack_sequences",
+    "pack_chunks",
+    "token_histogram",
+    "token_ngram_counts",
+    "topk_per_group",
+    "ngram_contamination",
     "embedding_neardup_pairs",
     "cosine",
     "cosine_topk",

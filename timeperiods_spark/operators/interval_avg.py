@@ -295,6 +295,7 @@ def interval_weighted_avg(
     join_strategy: str = "auto",
     bin_width: Optional[int] = None,
     skew_salt: Optional[int] = None,
+    join_stats: Optional[tuple] = None,
     sort_output: bool = False,
     extra_stats: bool = False,
 ) -> DataFrame:
@@ -314,7 +315,9 @@ def interval_weighted_avg(
       upstream.
     - ``assume_y_distinct=True`` skips the y deduplication shuffle.
     - ``join_strategy``/``bin_width``/``skew_salt`` select the physical
-      range-join plan (see plans.strategy.build_overlap_pairs).
+      range-join plan (see plans.strategy.build_overlap_pairs);
+      ``join_stats=(nx, ny, n_groups_distinct)`` lets the ``auto``
+      picker decide without its stats action on hot paths.
 
     Returns one row per distinct (group, y-interval):
     ``group_vars…, interval_vars…, value_vars… (weighted means, masked
@@ -380,6 +383,7 @@ def interval_weighted_avg(
         strategy=join_strategy,
         bin_width=bin_width,
         skew_salt=skew_salt,
+        auto_stats=join_stats,
     )
 
     # clip (O3), weight (O4), per-value weights/products (O5, O6)

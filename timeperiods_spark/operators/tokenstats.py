@@ -1,0 +1,166 @@
+"""Token-level corpus statistics over pre-tokenized sequences
+(``tokens array<int>`` — BASELINE.json input_hint payload).
+
+All three operators are single-shuffle hash aggregates whose explode
+stage is map-side (pipelined into the scan, partial aggregation before
+the exchange), so the exchange carries at most one row per distinct
+key per task — vocab-sized, not corpus-sized. No Python anywhere.
+
+- :func:`token_histogram` — vocab frequency (the unigram distribution
+  quality/filter passes read).
+- :func:`token_ngram_counts` — order-n token n-gram frequencies
+  (contamination / memorization scans).
+- :func:`topk_per_group` — exact per-group heavy hitters via one
+  aggregate + one output-domain-partitioned rank window.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def token_histogram(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    *,
+    group_by: Optional[Sequence[str]] = None,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """(group_by…, token, count) — corpus token frequency. With
+    ``weight_col`` each occurrence counts that row's weight (e.g. a
+    dedup survivor multiplicity) instead of 1."""
+    gcols = list(group_by or [])
+    exploded = df.select(
+        *gcols,
+        F.explode(tokens_col).alias("token"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("__w"),
+    )
+    return (
+        exploded.groupBy(*gcols, "token")
+        .agg(F.sum("__w").alias("count"))
+    )
+
+
+def token_ngram_counts(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    *,
+    n: int = 2,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """(group_by…, ngram array<int>, count) — frequencies of length-
+    ``n`` token windows within each sequence (no cross-document
+    n-grams; packing decides document joins, not this operator)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    gcols = list(group_by or [])
+    toks = F.col(tokens_col)
+    # sequences shorter than n contribute nothing: explode of the NULL
+    # branch emits no rows (sequence(1, 0) would count DOWN and slice
+    # would see start=0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.slice(toks, i, n),
+        ),
+    )
+    return (
+        df.select(*gcols, F.explode(grams).alias("ngram"))
+        .groupBy(*gcols, "ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def ngram_contamination(
+    test: DataFrame,
+    train: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Train/test overlap check (decontamination): for every test
+    document, count its distinct length-``n`` token n-grams that also
+    occur anywhere in the train corpus.
+
+    Output: id_col, ``n_grams`` (distinct n-grams in the doc),
+    ``n_hit`` (of those, how many appear in train), ``frac_hit``
+    (NULL when the doc has no n-grams). A downstream filter like
+    ``frac_hit >= t`` or ``n_hit > 0`` implements the usual eval-set
+    scrub.
+
+    Scale shape: the train side collapses to its DISTINCT gram set
+    (one map-side-combined aggregate — at corpus scale this is the
+    published n-gram-overlap decontamination join), the test side to
+    distinct (doc, gram) pairs; the hit count is one equi join keyed
+    by the gram value itself plus a per-doc aggregate. Grams are
+    short arrays (n ints) — exact join keys, no hashing, so the SQL
+    twin is bit-identical; hash them to 64-bit first at true corpus
+    scale if shuffle width ever dominates."""
+    test_grams = (
+        token_ngram_counts(
+            test.select(id_col, tokens_col), tokens_col, n=n, group_by=[id_col]
+        )
+        .select(id_col, "ngram")
+    )
+    train_grams = (
+        token_ngram_counts(train.select(tokens_col), tokens_col, n=n)
+        .select("ngram")
+    )
+    hits = test_grams.join(
+        train_grams.withColumn("__hit", F.lit(1)), "ngram", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "frac_hit",
+            F.col("n_hit") / F.when(F.col("n_grams") > 0, F.col("n_grams")),
+        )
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    measure: Column,
+    *,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k keys per group by an aggregate measure: one hash
+    aggregate keyed (group…, key…) then a rank window partitioned by
+    the group — the OUTPUT domain, so parallelism scales with groups
+    and the exchange carries aggregated rows only. Ties break by the
+    key columns ascending (deterministic). Output: group_by…, key…,
+    ``measure`` (aliased value), ``rank``.
+
+    The final rank runs after a per-partition pre-top-k (the global
+    top-k is a subset of the union of partition top-ks under the same
+    total order), so the last window sees at most k x partitions rows
+    — a few-groups or ungrouped call never funnels the whole key
+    domain through one window task."""
+    gcols = list(group_by or [])
+    kcols = list(key_cols)
+    agg = df.groupBy(*gcols, *kcols).agg(measure.alias("measure"))
+    order = [F.col("measure").desc(), *[F.col(c) for c in kcols]]
+    wlocal = Window.partitionBy(*gcols, "__part").orderBy(*order)
+    pruned = (
+        agg.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wlocal))
+        .filter(F.col("__lr") <= k)
+        .drop("__part", "__lr")
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

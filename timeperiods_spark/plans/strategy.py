@@ -30,15 +30,18 @@ no custom Catalyst rules — into one of four shapes:
     (group, bin[, salt]), which partitions evenly and is skew-saltable.
 
 ``auto``
-    group_equi when group keys exist, else bin (width estimated from a
-    sample of interval lengths when not given). Measured guidance: when
-    groups are FEW and panels LONG, group_equi's per-group candidate
-    space is |x_g| x |y_g| (the post-join range filter pays for every
-    pair), while the bin join's is proportional to actual overlaps —
-    at sf0.1 (20 groups x ~7.5k intervals) bin is ~20-50% faster and
-    the gap widens with panel length. auto stays group_equi because it
-    needs no width estimate and no fan-out; pick bin explicitly for
-    long-panel workloads.
+    Data-aware pick. Ungrouped → bin. Grouped → estimate the equi
+    join's candidate volume ``|x| x |y| / groups`` (one bounded stats
+    action: count + approx_count_distinct on x, count on y) and switch
+    to bin above ``AUTO_BIN_PAIRS``. Rationale: group_equi's SMJ
+    applies the range predicate AFTER the per-group cross, so its cost
+    is the candidate volume, not the match volume — few groups x long
+    panels degenerates quadratically (measured: the sf1.0 bench's
+    20-group x 750k-interval panel ran 97x the sf0.1 wall under
+    unconditional group_equi; the bin join is linear in actual
+    overlaps). Callers that know their sizes pass
+    ``auto_stats=(nx, ny, n_groups_distinct)`` to skip the stats
+    action, or pick a strategy explicitly.
 
 All null handling is null-safe (``eqNullSafe``): NULL group values are
 legal join keys, matching data.table's NA-matching keyed joins
@@ -55,6 +58,15 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: auto switches group_equi -> bin when the estimated per-group cross
+#: volume |x| * |y| / groups exceeds this. Calibrated on this host:
+#: group_equi sustains ~1e8 candidate pairs/sec, and at ~2.6e8 pairs
+#: (sf0.1 orders panel) bin already wins by 20-50%; by 2.6e10 (sf1.0)
+#: group_equi is 97x slower. 1e8 puts the switch at the measured
+#: crossover with margin against the estimate's approx_count_distinct
+#: error.
+AUTO_BIN_PAIRS = 100_000_000
 
 
 def _group_cond(n_groups: int) -> Optional[Column]:
@@ -96,6 +108,7 @@ def build_overlap_pairs(
     strategy: str = "auto",
     bin_width: Optional[int] = None,
     skew_salt: Optional[int] = None,
+    auto_stats: Optional[tuple] = None,
 ) -> DataFrame:
     """Inner-join x intervals to y periods on closed-interval overlap.
 
@@ -104,13 +117,36 @@ def build_overlap_pairs(
     exactly the multiset ``foverlaps`` produces (reference
     timeperiod_functions.R:239-240) minus the unmatched y rows, which
     the caller restores with a completion join.
+
+    ``auto_stats=(nx, ny, n_groups_distinct)`` feeds the auto picker
+    without its stats action (hot paths that know their sizes; the
+    numbers only steer the strategy choice, never correctness).
     """
     overlap = (F.col("__xs") <= F.col("__ye")) & (F.col("__xe") >= F.col("__ys"))
     ygcols = [f"__yg{i}" for i in range(n_groups)]
     x_payload = [c for c in xw.columns if not c.startswith("__g")]
 
     if strategy == "auto":
-        strategy = "group_equi" if n_groups else "bin"
+        if not n_groups:
+            strategy = "bin"
+        else:
+            if auto_stats is not None:
+                nx, ny, g = auto_stats
+            else:
+                row = xw.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(
+                        F.struct(*[f"__g{i}" for i in range(n_groups)])
+                    ).alias("g"),
+                ).first()
+                nx, g = row["n"], row["g"]
+                ny = yw.count()
+            g = max(1, int(g or 0))
+            strategy = (
+                "bin"
+                if int(nx or 0) * int(ny or 0) // g > AUTO_BIN_PAIRS
+                else "group_equi"
+            )
 
     if strategy in ("group_equi", "broadcast_y", "broadcast_x"):
         left, right = yw, xw
