@@ -99,10 +99,15 @@ def _bracketed_call(fn, n_threads: int):
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     """Headline queries with the r2-verdict measurement hygiene: each
     query runs HEAD_REPS interleaved passes, bracketed by idle-time
-    steal probes; the reported time is the best clean-bracketed rep
-    (steal only ever inflates), falling back to the overall min with
-    clean=False recorded in-band. Rep 1 includes JVM/JIT warmup, so
-    min-of-reps reads as steady-state."""
+    steal probes; the reported time is the minimum wall across reps.
+    Steal can only INFLATE a wall, so every achieved wall is a valid
+    conservative bound and the fastest rep is the honest best — the
+    clean gate matters for cross-leg RATIOS (scaling pairs), not for
+    single walls; a steal-dirty rep that still beat the clean ones is
+    a slower-than-true-machine number, never a flattering one.
+    ``<q>_clean`` records whether the CHOSEN rep was bracket-clean.
+    Rep 1 includes JVM/JIT warmup, so min-of-reps reads as
+    steady-state."""
     extras: dict[str, float] = {}
     state: dict = {}
     queries = _build_queries(spark, state, extras)
@@ -123,11 +128,11 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     for name in all_times:
         walls, probes = all_times[name], all_probes[name]
         clean_idx = [i for i, p in enumerate(probes) if max(p) <= thr]
-        best = min(clean_idx or range(len(walls)), key=lambda i: walls[i])
+        best = min(range(len(walls)), key=lambda i: walls[i])
         times[name] = walls[best]
         extras[f"{name}_all_seconds"] = [round(w, 3) for w in walls]
         extras[f"{name}_bracket_probes"] = probes
-        extras[f"{name}_clean"] = bool(clean_idx)
+        extras[f"{name}_clean"] = best in clean_idx
     return times, extras
 
 

@@ -9,7 +9,11 @@ scale.
     3. cascade to daily/weekly + gap-fill + 7-day rolling mean;
     4. Gorilla-compress the daily series into bounded blocks and prove
        the bit-exact round-trip;
-    5. coverage report: merged active intervals and the gap report.
+    5. coverage report: merged active intervals and the gap report;
+    6. eval-set decontamination (8-gram overlap scrub) + vocab heavy
+       hitters over the survivors;
+    7. pack the clean token streams into fixed-length training windows
+       and prove the packing is lossless.
 
 Run: python examples/example_pipeline.py
 """
@@ -35,9 +39,13 @@ from timeperiods_spark import (  # noqa: E402
     get_spark,
     merge_intervals,
     minhash_dedup_incremental,
+    ngram_contamination,
+    pack_chunks,
     rolling_window_agg,
     rollup_regular,
+    token_histogram,
     token_table,
+    topk_per_group,
 )
 from timeperiods_spark.operators.rollup import finalize_rollup  # noqa: E402
 
@@ -111,6 +119,44 @@ def main() -> None:
         )
         print(f"[5] coverage: {active.count()} active intervals, "
               f"{gaps.count()} gaps across sources")
+
+        # --- 6. decontamination + vocab stats ---
+        corpus = tok.withColumn("did", F.col("doc_id").cast("long"))
+        train = corpus.filter("did < 19000")
+        evalset = corpus.filter("did >= 19000")
+        cont = ngram_contamination(evalset, train, "tokens", "doc_id", n=8)
+        flagged = cont.filter("n_hit > 0").count()
+        clean_train = train.join(
+            cont.filter("n_hit > 0").select(
+                F.col("doc_id").cast("string").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        top = topk_per_group(
+            token_histogram(
+                train.withColumn(
+                    "tokens", F.transform("tokens", lambda x: x % 101)
+                ),
+                group_by=["source"],
+            ),
+            ["token"], F.sum("count"), group_by=["source"], k=3,
+        )
+        print(f"[6] decontamination: {flagged} of {evalset.count()} eval docs "
+              f"flagged; per-source top-3 rows: {top.count()}")
+
+        # --- 7. pack the clean stream into 2048-token windows ---
+        packed = pack_chunks(
+            clean_train.withColumn("doc_id", F.col("did")),
+            "doc_id", "tokens", "n_tok", chunk_len=2048, group_by=["source"],
+        )
+        n_win, n_tok_out = packed.agg(
+            F.count(F.lit(1)), F.sum("n_tok")
+        ).first()
+        n_tok_in = clean_train.agg(F.sum("n_tok")).first()[0]
+        print(f"[7] packing: {n_tok_in} tokens -> {n_win} windows of 2048 "
+              f"({n_tok_out} tokens out)")
+        assert n_tok_in == n_tok_out, "packing must be lossless"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

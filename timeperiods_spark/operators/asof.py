@@ -169,8 +169,11 @@ def asof_join(
 
         # the stream feeds the bucket-bounds action plus two plan
         # subtrees (per-bucket carry, bucket last-observations);
-        # managed: a repeat call releases the previous call's frame
-        stream = managed_persist(stream, "asof_join.stream")
+        # managed: a repeat call releases the previous call's frame.
+        # The tag carries the direction so 'nearest' (backward pass
+        # consumed lazily by the forward pass) doesn't evict its own
+        # still-needed backward stream mid-composition.
+        stream = managed_persist(stream, f"asof_join.stream.{direction}")
 
     plan = plan_buckets(stream, group_vars, "__t", n_buckets=n_buckets)
     if plan.empty:

@@ -368,6 +368,23 @@ def interval_weighted_avg(
     else:
         _vlog("validation skipped (validate=False)")
 
+    if join_strategy == "auto" and join_stats is None and n_g:
+        # compute the auto picker's stats HERE on the pre-dedup frames:
+        # build_overlap_pairs' own fallback would yd.count() and pay
+        # the y-dedup shuffle once for planning and again in the join.
+        # Pre-dedup ny is an upper bound — it can only steer the pick
+        # toward the (safe at any size) bin join.
+        _t0 = _time.time()
+        _row = xw.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.struct(*gcols)).alias("g"),
+        ).first()
+        join_stats = (_row["n"], yw.count(), _row["g"])
+        _vlog(
+            f"auto-join stats nx={join_stats[0]} ny<={join_stats[1]} "
+            f"groups~{join_stats[2]} ({_time.time() - _t0:.2f}s)"
+        )
+
     yd = yw if assume_y_distinct else yw.dropDuplicates(ygcols + ["__ys", "__ye"])
     _vlog(
         f"plan: join_strategy={join_strategy!r} n_groups={n_g} "

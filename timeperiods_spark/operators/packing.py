@@ -44,7 +44,28 @@ def _sequence_offsets(
     ``order_col`` within each group — via the bucketed carry planner.
     ``__t`` (the long order value) stays on the frame for span tests."""
     hints = dict(carry_hints or {})
-    base = df.withColumn("__t", F.col(order_col).cast("long")).withColumn(
+    base = df.withColumn(
+        "__t",
+        # a NULL long order value (NULL input or a non-castable string
+        # id) would make the prefix-sum order arbitrary — raise
+        # row-locally instead of silently emitting garbage offsets
+        # (same contract as running_max's non-bucketable raise).
+        # try_cast: under ANSI a plain cast would throw Spark's opaque
+        # CAST_INVALID_INPUT first; under non-ANSI it would silently
+        # NULL — try_cast makes this guard the single failure path.
+        F.when(
+            F.col(order_col).try_cast("long").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pack_sequences: {order_col} must cast to a "
+                        "non-NULL long (pass a numeric sort key); got "
+                    ),
+                    F.coalesce(F.col(order_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(order_col).try_cast("long")),
+    ).withColumn(
         "__len",
         F.when(
             F.col(len_col).isNull() | (F.col(len_col) < 0),
@@ -80,6 +101,38 @@ def _sequence_offsets(
     ).drop("__bk", "__carry")
 
 
+def _span_frame(off: DataFrame, chunk_len: int) -> DataFrame:
+    """Explode an offset frame (``__off``, ``__len`` attached by
+    :func:`_sequence_offsets`) into one row per straddled window, with
+    the clipped span columns ``chunk_id`` / ``seq_start`` / ``seq_len``
+    / ``chunk_off``. Single source of the floor-divide/clip arithmetic
+    for both packing operators."""
+    if chunk_len <= 0:
+        raise ValueError("chunk_len must be positive")
+    w = F.lit(int(chunk_len)).cast("long")
+    first_c = F.expr(f"__off DIV {int(chunk_len)}")
+    last_c = F.expr(f"(__off + __len - 1) DIV {int(chunk_len)}")
+    return (
+        off.filter(F.col("__len") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
+        .withColumn(
+            "seq_start",
+            F.greatest(
+                F.lit(0).cast("long"), F.col("chunk_id") * w - F.col("__off")
+            ),
+        )
+        .withColumn(
+            "seq_len",
+            F.least(F.col("__len"), (F.col("chunk_id") + 1) * w - F.col("__off"))
+            - F.col("seq_start"),
+        )
+        .withColumn(
+            "chunk_off",
+            F.col("__off") + F.col("seq_start") - F.col("chunk_id") * w,
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,32 +164,10 @@ def pack_sequences(
     the offset prefix-sum's bucket planner (same contract as
     rollup_regular) to skip its stats action on hot paths.
     """
-    if chunk_len <= 0:
-        raise ValueError("chunk_len must be positive")
     gcols = list(group_by or [])
     order_col = order_col or id_col
     off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints)
-    w = F.lit(int(chunk_len)).cast("long")
-    first_c = F.expr(f"__off DIV {int(chunk_len)}")
-    last_c = F.expr(f"(__off + __len - 1) DIV {int(chunk_len)}")
-    spans = (
-        off.filter(F.col("__len") > 0)
-        .withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
-        .withColumn(
-            "seq_start",
-            F.greatest(F.lit(0).cast("long"), F.col("chunk_id") * w - F.col("__off")),
-        )
-        .withColumn(
-            "seq_len",
-            F.least(F.col("__len"), (F.col("chunk_id") + 1) * w - F.col("__off"))
-            - F.col("seq_start"),
-        )
-        .withColumn(
-            "chunk_off",
-            F.col("__off") + F.col("seq_start") - F.col("chunk_id") * w,
-        )
-    )
-    return spans.select(
+    return _span_frame(off, chunk_len).select(
         *gcols, id_col, "chunk_id", "seq_start", "seq_len", "chunk_off"
     )
 
@@ -166,37 +197,17 @@ def pack_chunks(
     gcols = list(group_by or [])
     order_col = order_col or id_col
     off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints)
-    w = F.lit(int(chunk_len)).cast("long")
-    first_c = F.expr(f"__off DIV {int(chunk_len)}")
-    last_c = F.expr(f"(__off + __len - 1) DIV {int(chunk_len)}")
-    pieces = (
-        off.filter(F.col("__len") > 0)
-        .withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
-        .withColumn(
-            "__seq_start",
-            F.greatest(F.lit(0).cast("long"), F.col("chunk_id") * w - F.col("__off")),
-        )
-        .withColumn(
-            "__seq_len",
-            F.least(F.col("__len"), (F.col("chunk_id") + 1) * w - F.col("__off"))
-            - F.col("__seq_start"),
-        )
-        .withColumn(
-            "__chunk_off",
-            F.col("__off") + F.col("__seq_start") - F.col("chunk_id") * w,
-        )
-        .select(
-            *gcols,
-            "chunk_id",
-            F.struct(
-                F.col("__chunk_off").alias("pos"),
-                F.slice(
-                    F.col(tokens_col),
-                    (F.col("__seq_start") + 1).cast("int"),
-                    F.col("__seq_len").cast("int"),
-                ).alias("toks"),
-            ).alias("__piece"),
-        )
+    pieces = _span_frame(off, chunk_len).select(
+        *gcols,
+        "chunk_id",
+        F.struct(
+            F.col("chunk_off").alias("pos"),
+            F.slice(
+                F.col(tokens_col),
+                (F.col("seq_start") + 1).cast("int"),
+                F.col("seq_len").cast("int"),
+            ).alias("toks"),
+        ).alias("__piece"),
     )
     # array_sort on structs orders by the leading field (pos) — piece
     # positions are distinct within a window, so the order is total

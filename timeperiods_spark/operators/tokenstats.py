@@ -86,11 +86,13 @@ def ngram_contamination(
     document, count its distinct length-``n`` token n-grams that also
     occur anywhere in the train corpus.
 
-    Output: id_col, ``n_grams`` (distinct n-grams in the doc),
-    ``n_hit`` (of those, how many appear in train), ``frac_hit``
-    (NULL when the doc has no n-grams). A downstream filter like
-    ``frac_hit >= t`` or ``n_hit > 0`` implements the usual eval-set
-    scrub.
+    Output: id_col, ``n_grams`` (distinct n-grams in the doc, always
+    >= 1), ``n_hit`` (of those, how many appear in train),
+    ``frac_hit``. Documents shorter than ``n`` tokens have no n-grams
+    and emit NO row — there is nothing to scrub on; anti-join the
+    output against the test ids to list them. A downstream filter
+    like ``frac_hit >= t`` or ``n_hit > 0`` implements the usual
+    eval-set scrub.
 
     Scale shape: the train side collapses to its DISTINCT gram set
     (one map-side-combined aggregate — at corpus scale this is the
@@ -119,10 +121,7 @@ def ngram_contamination(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
         )
-        .withColumn(
-            "frac_hit",
-            F.col("n_hit") / F.when(F.col("n_grams") > 0, F.col("n_grams")),
-        )
+        .withColumn("frac_hit", F.col("n_hit") / F.col("n_grams"))
     )
 
 

@@ -25,12 +25,25 @@ Contract notes:
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _REGISTRY: Dict[str, DataFrame] = {}
+# drivers legitimately submit operator calls from several threads
+# (concurrent job groups); without the lock two same-tag calls race on
+# pop/put and the loser's frame leaks unreferenced — the exact
+# unbounded growth this module exists to prevent
+_LOCK = threading.Lock()
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session gone / already unpersisted — nothing to hold
 
 
 def managed_persist(
@@ -40,33 +53,29 @@ def managed_persist(
 ) -> DataFrame:
     """Persist ``df`` under ``tag``, unpersisting whatever frame the
     tag previously held. Returns the persisted frame."""
-    prev = _REGISTRY.pop(tag, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session gone / already unpersisted — nothing to hold
     out = df.persist(storage_level)
-    _REGISTRY[tag] = out
+    with _LOCK:
+        prev = _REGISTRY.get(tag)
+        _REGISTRY[tag] = out
+    if prev is not None and prev is not out:
+        _unpersist_quietly(prev)
     return out
 
 
 def release(tag: Optional[str] = None) -> int:
     """Unpersist managed intermediates — one tag, or all when ``tag``
     is None. Returns the number of frames released."""
-    tags = [tag] if tag is not None else list(_REGISTRY)
-    n = 0
-    for t in tags:
-        df = _REGISTRY.pop(t, None)
-        if df is not None:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
-            n += 1
-    return n
+    with _LOCK:
+        tags = [tag] if tag is not None else list(_REGISTRY)
+        dropped = [
+            _REGISTRY.pop(t) for t in tags if t in _REGISTRY
+        ]
+    for df in dropped:
+        _unpersist_quietly(df)
+    return len(dropped)
 
 
 def managed_tags() -> List[str]:
     """Currently-held tags (for tests / introspection)."""
-    return sorted(_REGISTRY)
+    with _LOCK:
+        return sorted(_REGISTRY)

@@ -63,7 +63,10 @@ def synthesize(spark) -> None:
     }
     for name, (keys, xform) in specs.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        shifts = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        row = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+        if any(row[k] is None for k in keys):
+            raise ValueError(f"{name}: empty source or all-NULL key column")
+        shifts = {k: row[k] + 1 for k in keys}
         parts = []
         for i in range(COPIES):
             part = df
