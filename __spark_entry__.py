@@ -2429,6 +2429,77 @@ GROUP BY tg.doc_id
 """
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic partition-independent Bernoulli sample: the
+    membership predicate is a pure row expression both engines compute
+    bit-identically (portable MINSTD rounds, seed enters as a
+    multiplier)."""
+    from timeperiods_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.3, seed=1).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def _sampling_sql_parts():
+    from timeperiods_spark.operators.sampling import hash_unit_sql
+
+    return hash_unit_sql("doc_id", 1), hash_unit_sql("doc_id", 2)
+
+
+_HU1, _HU2 = _sampling_sql_parts()
+
+SQL_HASH_SAMPLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+WHERE {_HU1} < 0.3
+"""
+
+
+def q_source_mix(spark, sf_dir):
+    """Token-budget data mixing: per-source rates = min(1,
+    share*target/total) from one totals aggregate, then the row-pure
+    hash predicate. src_9 (the dominant source) gets 2/3 of the
+    budget, src_8 one third; every other source rate 0 — both rates
+    land strictly inside (0, 1) so real Bernoulli selection runs."""
+    from timeperiods_spark.operators.sampling import source_mix
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False)
+    out, _rates = source_mix(
+        t, "doc_id", "n_tok", "source",
+        target_total=100_000,
+        mix_weights={"src_9": 2.0, "src_8": 1.0},
+        seed=2,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+SQL_SOURCE_MIX = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+tot AS (
+  SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS total
+  FROM tok GROUP BY source
+),
+rates AS (
+  SELECT source,
+         LEAST(1.0,
+           (CASE source WHEN 'src_9' THEN 2.0/3.0
+                        WHEN 'src_8' THEN 1.0/3.0
+                        ELSE 0.0 END) * 100000 / total) AS rate
+  FROM tot
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.source,
+       CAST(t.n_tok AS BIGINT) AS n_tok
+FROM tok t JOIN rates r ON t.source = r.source
+WHERE {_HU2} < r.rate
+"""
+
+
 _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2450,6 +2521,8 @@ _PIPELINE_QUERIES = {
     "token_histogram_by_source": q_token_histogram,
     "topk_tokens_per_source": q_topk_tokens,
     "ngram_contamination_check": q_contamination,
+    "hash_sample_docs": q_hash_sample,
+    "source_mix_tokens": q_source_mix,
 }
 
 _PIPELINE_ORACLES = {
@@ -2472,5 +2545,7 @@ _PIPELINE_ORACLES = {
     "token_histogram_by_source": SQL_TOKEN_HISTOGRAM,
     "topk_tokens_per_source": SQL_TOPK_TOKENS,
     "ngram_contamination_check": SQL_CONTAMINATION,
+    "hash_sample_docs": SQL_HASH_SAMPLE,
+    "source_mix_tokens": SQL_SOURCE_MIX,
     "text_analysis": SQL_TEXTOPS,
 }

@@ -150,15 +150,21 @@ def _build_queries(spark, state: dict, extras: dict):
                 (7 * F.col("rn")).cast("long").alias("e"),
                 F.col("o_totalprice").alias("v"))
     )
-    n_per = max(2, _count(orders) // 20 * 7 // 30 + 2)
+    n_orders = _count(orders)
+    n_per = max(2, n_orders // 20 * 7 // 30 + 2)
     y = x.select("g").distinct().crossJoin(
         spark.range(n_per).select((F.col("id") * 30).cast("long").alias("s"),
                                   (F.col("id") * 30 + 29).cast("long").alias("e"))
     )
     def q_iwa_orders():
+        # production hot-path shape: the caller knows its sizes, so the
+        # auto picker decides without stats jobs (join_stats mirrors
+        # carry_hints on the tier path); at this panel shape the
+        # estimate selects the bin join
         extras["iwa_orders_rows"] = _count(
             interval_weighted_avg(x, y, ("s", "e"), ("v",), ("g",), 50.0,
-                                  validate=False, assume_y_distinct=True))
+                                  validate=False, assume_y_distinct=True,
+                                  join_stats=(n_orders, 20 * n_per, 20)))
 
     queries.append(("iwa_orders", q_iwa_orders))
 

@@ -46,6 +46,7 @@ from .operators.dedup import (
 )
 from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
+from .operators.sampling import hash_sample, source_mix
 from .operators.tokenstats import (
     ngram_contamination,
     token_histogram,
@@ -129,6 +130,8 @@ __all__ = [
     "token_ngram_counts",
     "topk_per_group",
     "ngram_contamination",
+    "hash_sample",
+    "source_mix",
     "embedding_neardup_pairs",
     "cosine",
     "cosine_topk",

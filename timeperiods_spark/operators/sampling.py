@@ -1,0 +1,138 @@
+"""Deterministic sampling and data mixing for training pipelines.
+
+A training mix is a reproducibility contract: re-running the pipeline
+must select the SAME rows. Spark's ``df.sample`` is seed-stable only
+for a fixed partitioning, which a 100 TB pipeline cannot promise
+across re-partitions and engine versions. These operators instead key
+every decision on a row-owned value through the engine's portable
+MINSTD-style hash (the same integer arithmetic the token generator and
+the DuckDB oracles share, ``sources/tokens.py``), so membership is a
+pure row predicate — partitioning-independent, engine-independent,
+and filter-pushdown-friendly (no shuffle, no RNG state).
+
+- :func:`hash_sample` — keep a deterministic ``fraction`` of rows by
+  hashing a key column; different ``seed`` values give independent
+  samples (train/holdout splits that never drift).
+- :func:`source_mix` — per-source sampling rates to hit a target
+  token budget with caller-given mix weights: one aggregate for the
+  per-source totals (driver-side, sources are few), then a broadcast
+  rate map feeding :func:`hash_sample` per row.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: MINSTD modulus shared with sources/tokens.py — keeps every product
+#: under 2^47 so the identical expression runs in ANSI SQL engines
+MODULUS = 2147483647
+
+
+def _seed_mult(seed: int) -> int:
+    """Seed-specific second-round multiplier. The seed must enter
+    MULTIPLICATIVELY: an additive seed only translates an affine hash
+    (u_seed2 = u_seed1 + eps), leaving the selected sets nearly
+    identical across seeds. Multiplication mod the prime is a
+    different bijection per multiplier, so the sub-threshold stripes
+    of two seeds overlap ~ fraction^2 (independent-like)."""
+    m = (16807 + 2654435761 * seed) % MODULUS
+    return m if m > 1 else 16807
+
+
+def _hash_unit(key: Column, seed: int) -> Column:
+    """Deterministic pseudo-uniform value in [0, 1) from a long-castable
+    key: two MINSTD-style rounds, the second with a seed-keyed
+    multiplier. Every product stays below 2^62 (fits 64-bit signed in
+    both engines). Portable to ANSI SQL verbatim (:func:`hash_unit_sql`)."""
+    k = key.cast("long")
+    h1 = (k * 48271 + F.lit(11)) % MODULUS
+    h2 = (h1 * F.lit(_seed_mult(seed)) + 3) % MODULUS
+    return h2.cast("double") / F.lit(float(MODULUS))
+
+
+def hash_unit_sql(key_expr: str, seed: int) -> str:
+    """The DuckDB-verbatim twin of :func:`_hash_unit`."""
+    h1 = f"((CAST({key_expr} AS BIGINT) * 48271 + 11) % {MODULUS})"
+    h2 = f"(({h1} * {_seed_mult(seed)} + 3) % {MODULUS})"
+    return f"(CAST({h2} AS DOUBLE) / {float(MODULUS)})"
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep rows whose hashed key falls below ``fraction`` — an exact,
+    rerun-stable Bernoulli sample keyed on row identity. The predicate
+    is a pure column expression: it pushes into the scan, never
+    shuffles, and selects the same rows at any partitioning. Disjoint
+    seeds give independent samples, so ``hash_sample(df, k, 0.9,
+    seed=1)`` and its complement form a stable train/holdout split."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def source_mix(
+    df: DataFrame,
+    key_col: str,
+    weight_by: str,
+    source_col: str = "source",
+    *,
+    target_total: int,
+    mix_weights: Optional[Mapping[str, float]] = None,
+    seed: int = 0,
+) -> tuple[DataFrame, Dict[str, float]]:
+    """Sample each source at the rate that hits ``target_total`` units
+    of ``weight_by`` (e.g. tokens) in the caller's mix proportions —
+    the data-mixing step of a training run.
+
+    ``mix_weights`` maps source → desired share of the target budget
+    (normalized internally; missing sources get 0). Without it, every
+    source contributes proportionally to its corpus size (a plain
+    global downsample to the budget). A source whose requested share
+    exceeds its corpus is clamped to rate 1.0 (take everything) — the
+    returned rate map makes the shortfall visible.
+
+    Returns ``(sampled_df, rates)``. Scale shape: ONE aggregate for
+    per-source totals (sources are few — the map is driver-side by
+    design), then a broadcast-joined rate column feeding the same
+    row-pure hash predicate as :func:`hash_sample`. Expected sampled
+    weight per source = rate x total; exactness improves with row
+    count (Bernoulli, not reservoir — no global sort, no state).
+    """
+    totals = {
+        r[source_col]: r["__tot"]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(weight_by).alias("__tot"))
+        .collect()
+    }
+    grand = sum(totals.values())
+    if grand == 0:
+        return df.filter(F.lit(False)), {s: 0.0 for s in totals}
+    if mix_weights is None:
+        shares = {s: t / grand for s, t in totals.items()}
+    else:
+        wsum = sum(mix_weights.values())
+        if wsum <= 0:
+            raise ValueError("mix_weights must sum to a positive value")
+        shares = {s: mix_weights.get(s, 0.0) / wsum for s in totals}
+    rates = {
+        s: min(1.0, (shares[s] * target_total) / totals[s]) if totals[s] else 0.0
+        for s in totals
+    }
+    spark = df.sparkSession
+    rate_map = spark.createDataFrame(
+        [(s, r) for s, r in rates.items()],
+        f"{source_col} string, __rate double",
+    )
+    out = (
+        df.join(F.broadcast(rate_map), source_col, "left")
+        .filter(_hash_unit(F.col(key_col), seed) < F.coalesce("__rate", F.lit(0.0)))
+        .drop("__rate")
+    )
+    return out, rates
