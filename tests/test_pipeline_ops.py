@@ -78,6 +78,59 @@ def test_minhash_recall_and_verify(docs):
         assert j >= 0.5
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_size drops over-popular (band, bsig) buckets before
+    the self join: pairs matched ONLY through the hot boilerplate
+    bucket disappear, genuine near-dup pairs outside it survive."""
+    boiler = "shared numeric boilerplate 1234567890 " * 4
+    rows = [(i, boiler) for i in range(30)]          # one hot bucket
+    rows += [(100, "a genuinely unique document about spark engines x"),
+             (101, "a genuinely unique document about spark engines y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text").count()
+    capped = minhash_candidate_pairs(
+        df, "doc_id", "text", max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # 30 identical docs contribute 435 pairs uncapped; all gone
+    assert uncapped >= 435 + 1
+    assert (100, 101) in got        # real near-dup pair survives
+    assert all(a >= 100 for a, _ in got), got
+
+
+def test_minhash_incremental_hot_bucket_cap(spark):
+    """The incremental probe honors max_bucket_size over the COMBINED
+    index+batch bucket population, while new_bands stays complete."""
+    from timeperiods_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+    )
+
+    boiler = "shared numeric boilerplate 1234567890 " * 4
+    idx_docs = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, boiler), (101, "a unique doc about engines")],
+        "doc_id long, text string",
+    )
+    ib, ish = build_minhash_index(idx_docs, "doc_id", "text")
+    capped = minhash_dedup_incremental(
+        batch, "doc_id", "text", index_bands=ib, index_shingles=ish,
+        verify_threshold=0.5, max_bucket_size=10,
+    )
+    # the boilerplate batch doc survives (its only matches ride the
+    # hot bucket), and the index rows it returns are unfiltered
+    kept = {r["doc_id"] for r in capped["deduped"].collect()}
+    assert kept == {100, 101}
+    assert capped["new_bands"].count() == 2 * 4
+    uncapped = minhash_dedup_incremental(
+        batch, "doc_id", "text", index_bands=ib, index_shingles=ish,
+        verify_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in uncapped["deduped"].collect()} == {101}
+
+
 def test_minhash_dedup_drops_copies(docs):
     kept = minhash_dedup(docs, "doc_id", "text", verify_threshold=0.9)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}

@@ -100,6 +100,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     verify_threshold: Optional[float] = None,
     cache_shingles: bool = True,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one MinHash band.
 
@@ -108,6 +109,17 @@ def minhash_candidate_pairs(
     With ``verify_threshold``, candidates are re-checked with exact
     shingle Jaccard (computed only for candidates). Output: id_a, id_b
     (id_a < id_b) [+ jaccard when verifying].
+
+    ``max_bucket_size`` is the web-scale hot-bucket guard: a (band,
+    bsig) bucket holding ``m`` docs contributes ``m^2/2`` pairs, so a
+    boilerplate band shared by millions of documents turns the self
+    join quadratic (measured: a corpus with cross-copy shared
+    numeric shingles produced 113x the pairs at 10x the docs).
+    Buckets LARGER than the cap are dropped before the join via a
+    broadcast anti join on the (few) hot keys — a recall trade-off:
+    pairs whose ONLY shared band is an over-popular one are missed,
+    which for near-dup dedup is usually the desired reading of
+    "matched only on boilerplate". Default None = exact (no cap).
 
     The shingle frame is consumed three times when verifying (banding
     plus two pair re-attach joins); ``cache_shingles`` persists it so
@@ -145,6 +157,18 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bsig")
+
+    if max_bucket_size is not None:
+        # hot buckets are by definition FEW (each holds > cap docs),
+        # so the key set broadcasts; one map-side-combined aggregate
+        # finds them, one broadcast anti join drops their band rows
+        hot = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket_size))
+            .select("band", "bsig")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bsig"], "left_anti")
 
     left = banded.select(
         F.col("id").alias("id_a"),
@@ -241,10 +265,19 @@ def minhash_dedup_incremental(
     verify_threshold: float = 0.7,
     broadcast_batch: bool = False,
     cache: bool = True,
+    max_bucket_size: Optional[int] = None,
 ) -> dict:
     """Deduplicate a NEW batch against a persisted corpus index — what
     a production 100 TB pipeline runs nightly, instead of re-deduping
     the whole corpus per batch.
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    :func:`minhash_candidate_pairs`, measured over the COMBINED
+    (index + batch) population of each (band, bsig) bucket: a
+    boilerplate band accumulated over months of batches would
+    otherwise make every future probe quadratic in its size. The
+    returned ``new_bands`` frame is NOT filtered — the index stays
+    complete; the cap is a per-probe read-side decision.
 
     The batch is shingled and banded once; candidates are (a) batch
     docs sharing a band with an INDEXED doc (an equi probe of the index
@@ -288,6 +321,26 @@ def minhash_dedup_incremental(
             raise ValueError("pass both index frames or neither")
         index_bands = batch_bands.filter(F.lit(False))
         index_shingles = batch_sh.filter(F.lit(False))
+
+    full_batch_bands = batch_bands
+    if max_bucket_size is not None:
+        # cap on the COMBINED bucket population; the probe and the
+        # batch-internal join both drop hot-bucket rows, but the
+        # returned new_bands stay complete (read-side decision only)
+        hot = (
+            index_bands.select("band", "bsig")
+            .unionByName(batch_bands.select("band", "bsig"))
+            .groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket_size))
+            .select("band", "bsig")
+        )
+        batch_bands = batch_bands.join(
+            F.broadcast(hot), ["band", "bsig"], "left_anti"
+        )
+        index_bands = index_bands.join(
+            F.broadcast(hot), ["band", "bsig"], "left_anti"
+        )
 
     probe = F.broadcast(batch_bands) if broadcast_batch else batch_bands
     cross = (
@@ -352,7 +405,7 @@ def minhash_dedup_incremental(
     )
     return {
         "deduped": new_batch.join(losers, id_col, "left_anti"),
-        "new_bands": batch_bands,
+        "new_bands": full_batch_bands,
         "new_shingles": batch_sh,
     }
 
@@ -424,6 +477,7 @@ def minhash_dedup(
     bands: int = 4,
     verify_threshold: float = 0.7,
     method: str = "single_hop",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one survivor per duplicate cluster.
 
@@ -438,7 +492,7 @@ def minhash_dedup(
     """
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
-        verify_threshold=verify_threshold,
+        verify_threshold=verify_threshold, max_bucket_size=max_bucket_size,
     )
     if method == "components":
         cc = connected_components(pairs)

@@ -43,14 +43,19 @@ from timeperiods_spark import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+DIGITS = "0123456789"
 
 
 def _rot(s: str, i: int) -> str:
-    return s[i % 26:] + s[: i % 26]
+    return s[i % len(s):] + s[: i % len(s)]
 
 
 def synthesize(spark) -> None:
-    marker = os.path.join(SF1_DIR, "_SYNTH_OK")
+    # v2: rotation also covers digits — leaving numbers unrotated made
+    # numeric shingles identical across copies, creating hot cross-copy
+    # LSH buckets (measured 113x candidate pairs at 10x docs: a data-
+    # construction artifact, not operator behavior)
+    marker = os.path.join(SF1_DIR, "_SYNTH_OK_V2")
     if os.path.exists(marker):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -77,8 +82,9 @@ def synthesize(spark) -> None:
                     "text",
                     F.translate(
                         "text",
-                        ALPHA + ALPHA.upper(),
-                        _rot(ALPHA, i) + _rot(ALPHA.upper(), i),
+                        ALPHA + ALPHA.upper() + DIGITS,
+                        _rot(ALPHA, i) + _rot(ALPHA.upper(), i)
+                        + _rot(DIGITS, i),
                     ),
                 )
             parts.append(part)
