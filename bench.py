@@ -204,8 +204,16 @@ def _build_queries(spark, state: dict, extras: dict):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
     def q_minhash():
+        # production settings: xxhash64 (the portable poly hash exists
+        # for DuckDB oracle parity only) + the hot-bucket cap — the
+        # bench corpus is template text over a small vocabulary, where
+        # the RAW candidate count is hash-draw-sensitive (a globally
+        # minimal common shingle captures a large corpus fraction in
+        # one bucket); the cap makes the workload draw-stable while
+        # true near-dup clusters (~5 docs) pass far under it
         extras["minhash_dedup_rows"] = _count(
-            minhash_dedup(docs, "doc_id", "text", verify_threshold=0.5))
+            minhash_dedup(docs, "doc_id", "text", verify_threshold=0.5,
+                          hash_fn="xxhash64", max_bucket_size=500))
 
     queries.append(("minhash_dedup", q_minhash))
 

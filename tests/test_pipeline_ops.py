@@ -98,6 +98,85 @@ def test_minhash_hot_bucket_cap(spark):
     assert all(a >= 100 for a, _ in got), got
 
 
+def test_minhash_template_corpus_variance_and_cap(spark):
+    """Template corpora (every doc drawn from a small shared shingle
+    pool) make the RAW candidate count hash-draw-sensitive: when a
+    permutation's globally minimal hash lands on a common shingle, one
+    (band, bsig) bucket captures a large fraction of the corpus and
+    contributes a pair clique — re-hashing the same similarity
+    structure (a character-bijected corpus, jaccard exactly invariant)
+    measured 5x the candidates. max_bucket_size collapses the clique
+    while every verified true pair survives; hash_fn='xxhash64' is the
+    production hash (the portable poly hash exists for oracle parity
+    only)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot = alpha[7:] + alpha[:7]
+    # a bijection on characters: shingle-set similarity is EXACTLY
+    # invariant, only the hash draw changes
+    rehashed = docs.withColumn(
+        "text",
+        F.translate("text", alpha + alpha.upper(), rot + rot.upper()),
+    )
+    capped_a = minhash_candidate_pairs(
+        docs, "doc_id", "text", hash_fn="xxhash64", max_bucket_size=20
+    ).count()
+    capped_b = minhash_candidate_pairs(
+        rehashed, "doc_id", "text", hash_fn="xxhash64", max_bucket_size=20
+    ).count()
+    # capped counts are draw-stable (same order of magnitude)
+    assert capped_b <= 2 * capped_a + 10, (capped_a, capped_b)
+    # every TRUE >=0.5-jaccard pair survives the cap, both draws
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).count()
+    for frame in (docs, rehashed):
+        v = minhash_candidate_pairs(
+            frame, "doc_id", "text", verify_threshold=0.5,
+            hash_fn="xxhash64", max_bucket_size=20,
+        ).count()
+        assert v == truth, (v, truth)
+
+
+def test_simhash_embedding_hot_bucket_cap(spark):
+    """The cap generalizes to the other two LSH families."""
+    from timeperiods_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        simhash_pairs,
+    )
+
+    boiler = "shared numeric boilerplate 1234567890 " * 4
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark engines x"),
+             (101, "a genuinely unique document about spark engines y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            df, "doc_id", "text", max_hamming=7, max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped), capped
+
+    # 30 copies land in SRP bucket 0 (hot); the near-dup pair lives in
+    # bucket 8 (precomputed from the deterministic planes)
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    vecs += [(100, [0.0, 0.0, 0.0, 1.0]), (101, [0.0, 0.02, 0.0, 1.0])]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    vp = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            vdf, "vec_id", "embedding", dim=4, n_planes=4,
+            threshold=0.9, probes=0, max_bucket_size=10,
+        ).collect()
+    }
+    assert (100, 101) in vp
+    assert all(a >= 100 for a, _ in vp), vp
+
+
 def test_minhash_incremental_hot_bucket_cap(spark):
     """The incremental probe honors max_bucket_size over the COMBINED
     index+batch bucket population, while new_bands stays complete."""

@@ -73,14 +73,36 @@ def poly_hash_sql(sh: str, k: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def shingle_hashes_spark(col: Column, k: int) -> Column:
-    """array<long> of distinct polynomial shingle hashes.
+def shingle_hashes_spark(col: Column, k: int, hash_fn: str = "poly") -> Column:
+    """array<long> of distinct shingle hashes.
+
+    ``hash_fn="poly"`` (default) is the portable positional base-31
+    hash both engines reproduce — REQUIRED for DuckDB oracle parity,
+    but structure-preserving: a constant character shift (e.g. a
+    Caesar-rotated corpus) shifts every all-letter shingle's hash by
+    the same constant, and the affine MinHash permutations map
+    constant-shifted sets to constant-shifted sets, so collision
+    statistics degrade on structured inputs (measured 4.7x the
+    candidate pairs on a rotated copy of the same corpus).
+    ``hash_fn="xxhash64"`` is the production setting: avalanched
+    (reduced into the Mersenne field so the affine step can't
+    overflow under ANSI), immune to input structure, ~2x faster —
+    but not reproducible in the SQL oracle.
 
     Deliberately extracts the k-char shingle strings first and hashes
     those: UTF8String.substr is O(position) (no random character
     access), so hashing straight off text positions would probe the
     full string k times per position — measured ~1.5x slower than one
     shingle extraction + k probes of a k-char string."""
+    if hash_fn == "xxhash64":
+        return F.array_distinct(
+            F.transform(
+                shingles_spark(col, k),
+                lambda sh: F.pmod(F.xxhash64(sh), F.lit(MERSENNE)),
+            )
+        )
+    if hash_fn != "poly":
+        raise ValueError("hash_fn must be 'poly' or 'xxhash64'")
     return F.array_distinct(
         F.transform(shingles_spark(col, k), lambda sh: poly_hash_spark(sh, k))
     )

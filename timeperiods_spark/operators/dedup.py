@@ -45,7 +45,8 @@ def exact_dedup(
 
 
 def shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """(id, shingle_hashes array<long>) — shared prep for the near-dup
     operators (compute once, reuse across minhash/simhash/jaccard).
@@ -55,7 +56,7 @@ def shingle_frame(
     df = spread_input(df)
     return df.select(
         F.col(id_col).alias("id"),
-        TH.shingle_hashes_spark(F.col(text_col), k).alias("hashes"),
+        TH.shingle_hashes_spark(F.col(text_col), k, hash_fn).alias("hashes"),
     )
 
 
@@ -101,6 +102,7 @@ def minhash_candidate_pairs(
     verify_threshold: Optional[float] = None,
     cache_shingles: bool = True,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one MinHash band.
 
@@ -113,9 +115,13 @@ def minhash_candidate_pairs(
     ``max_bucket_size`` is the web-scale hot-bucket guard: a (band,
     bsig) bucket holding ``m`` docs contributes ``m^2/2`` pairs, so a
     boilerplate band shared by millions of documents turns the self
-    join quadratic (measured: a corpus with cross-copy shared
-    numeric shingles produced 113x the pairs at 10x the docs).
-    Buckets LARGER than the cap are dropped before the join via a
+    join quadratic. Template corpora (docs drawn from a small shared
+    shingle pool) hit this stochastically: whenever a permutation's
+    globally minimal hash lands on a common shingle, one bucket
+    captures a large corpus fraction — measured 113x the pairs at 10x
+    the docs on one hash draw, 5x between two draws over the SAME
+    similarity structure. Buckets LARGER than the cap are dropped
+    before the join via a
     broadcast anti join on the (few) hot keys — a recall trade-off:
     pairs whose ONLY shared band is an over-popular one are missed,
     which for near-dup dedup is usually the desired reading of
@@ -128,7 +134,9 @@ def minhash_candidate_pairs(
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
+    sh = shingle_frame(df, id_col, text_col, k, hash_fn).filter(
+        F.size("hashes") > 0
+    )
     if cache_shingles and verify_threshold is not None:
         from ..plans.cachectl import managed_persist
 
@@ -241,14 +249,17 @@ def build_minhash_index(
     k: int = 5,
     n_hashes: int = 12,
     bands: int = 4,
+    hash_fn: str = "poly",
 ) -> tuple[DataFrame, DataFrame]:
     """Bootstrap the persistable MinHash index for incremental dedup:
     returns ``(index_bands, index_shingles)`` — (id, band, bsig) and
     (id, hashes). Write both to tables (partition/bucket the band table
     by (band, bsig-hash) at scale); nightly batches then probe them via
     :func:`minhash_dedup_incremental` instead of re-scanning the whole
-    corpus."""
-    sh = shingle_frame(df, id_col, text_col, k).filter(F.size("hashes") > 0)
+    corpus. Index and probes must share one ``hash_fn``."""
+    sh = shingle_frame(df, id_col, text_col, k, hash_fn).filter(
+        F.size("hashes") > 0
+    )
     return minhash_band_frame(sh, n_hashes=n_hashes, bands=bands), sh
 
 
@@ -266,6 +277,7 @@ def minhash_dedup_incremental(
     broadcast_batch: bool = False,
     cache: bool = True,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "poly",
 ) -> dict:
     """Deduplicate a NEW batch against a persisted corpus index — what
     a production 100 TB pipeline runs nightly, instead of re-deduping
@@ -301,7 +313,7 @@ def minhash_dedup_incremental(
     (the designed shape: batch << corpus index), turning the index
     probe into a map-side join over the index scan.
     """
-    batch_sh = shingle_frame(new_batch, id_col, text_col, k).filter(
+    batch_sh = shingle_frame(new_batch, id_col, text_col, k, hash_fn).filter(
         F.size("hashes") > 0
     )
     if cache:
@@ -478,6 +490,7 @@ def minhash_dedup(
     verify_threshold: float = 0.7,
     method: str = "single_hop",
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """Drop near-duplicates, keeping one survivor per duplicate cluster.
 
@@ -493,6 +506,7 @@ def minhash_dedup(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
         verify_threshold=verify_threshold, max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
     )
     if method == "components":
         cc = connected_components(pairs)
@@ -515,6 +529,7 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     threshold: float = 0.9,
     probes: int = 1,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine — the fifth dedup mode
     (exact / Jaccard / MinHash / SimHash / embedding-cosine).
@@ -526,7 +541,13 @@ def embedding_neardup_pairs(
     shape as the MinHash path: the band/bucket join and pair dedup
     carry only (id, bucket), vectors re-attach to UNIQUE pairs via two
     id-equi joins. Columns: id_a, id_b (id_a < id_b), cosine.
-    """
+
+    ``max_bucket_size`` drops over-popular SRP buckets (an m-vector
+    bucket joins to m^2/2 candidates; centroid-dense regions and
+    zero-ish vectors create them) before the join — same hot-bucket
+    guard and recall trade-off as :func:`minhash_candidate_pairs`.
+    The cap keys on a row's OWN bucket, so a capped bucket neither
+    probes nor is probed."""
     from .similarity import cosine, srp_bucket, srp_probe_buckets
 
     base = spread_input(df).select(
@@ -534,6 +555,14 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     bucketed = base.withColumn("__b", srp_bucket(F.col("v"), dim, n_planes))
+    if max_bucket_size is not None:
+        hot = (
+            bucketed.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket_size))
+            .select("__b")
+        )
+        bucketed = bucketed.join(F.broadcast(hot), ["__b"], "left_anti")
     probed = bucketed.select(
         F.col("id").alias("id_a"),
         F.explode(srp_probe_buckets(F.col("__b"), n_planes, probes)).alias("__pb"),
@@ -705,10 +734,11 @@ def embedding_dedup_incremental(
 
 
 def simhash_frame(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, bits: int = 64,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """(id, simhash) — bit-majority fingerprint over shingle hashes."""
-    sh = shingle_frame(df, id_col, text_col, k)
+    sh = shingle_frame(df, id_col, text_col, k, hash_fn)
     return sh.select("id", TH.simhash_spark(F.col("hashes"), bits).alias("simhash"))
 
 
@@ -742,6 +772,7 @@ def build_simhash_index(
     k: int = 5,
     bits: int = 64,
     bands: int = 8,
+    hash_fn: str = "poly",
 ) -> tuple[DataFrame, DataFrame]:
     """Bootstrap the persistable SimHash index for incremental dedup:
     returns ``(index_chunks, index_fingerprints)`` — (id, band, chunk)
@@ -751,7 +782,7 @@ def build_simhash_index(
     whole corpus."""
     if bits % bands != 0:
         raise ValueError("bands must divide bits")
-    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits)
+    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits, hash_fn=hash_fn)
     return _simhash_chunk_frame(sf, bands, bits // bands), sf
 
 
@@ -768,6 +799,7 @@ def simhash_dedup_incremental(
     max_hamming: int = 3,
     broadcast_batch: bool = False,
     cache: bool = True,
+    hash_fn: str = "poly",
 ) -> dict:
     """Deduplicate a NEW batch against a persisted SimHash index — the
     SimHash mirror of :func:`minhash_dedup_incremental`. Candidates
@@ -788,7 +820,9 @@ def simhash_dedup_incremental(
     if bits % bands != 0:
         raise ValueError("bands must divide bits")
     w = bits // bands
-    batch_sf = simhash_frame(new_batch, id_col, text_col, k=k, bits=bits)
+    batch_sf = simhash_frame(
+        new_batch, id_col, text_col, k=k, bits=bits, hash_fn=hash_fn
+    )
     if cache:
         # feeds chunking, the hamming verify, and the returned
         # new_fingerprints; managed so repeated batches stay bounded
@@ -879,15 +913,24 @@ def simhash_pairs(
     bits: int = 64,
     bands: int = 8,
     max_hamming: int = 3,
+    max_bucket_size: Optional[int] = None,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-wide fingerprint
     into ``bands`` chunks, equi-join on any matching chunk (guarantees
     recall for hamming distance < bands), then filter exact hamming
-    <= max_hamming via bit_count(xor). Columns: id_a, id_b, hamming."""
+    <= max_hamming via bit_count(xor). Columns: id_a, id_b, hamming.
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    :func:`minhash_candidate_pairs` (an m-doc chunk bucket joins to
+    m^2/2 pairs; boilerplate corpora make some chunks universal) —
+    with it set, pairs whose ONLY shared chunk is over-popular are
+    missed, which also voids the pigeonhole exactness guarantee:
+    capped runs are approximate by design."""
     if bits % bands != 0:
         raise ValueError("bands must divide bits")
     w = bits // bands
-    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits)
+    sf = simhash_frame(df, id_col, text_col, k=k, bits=bits, hash_fn=hash_fn)
     banded = sf.select(
         "id",
         "simhash",
@@ -905,6 +948,14 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.chunk")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket_size))
+            .select("band", "chunk")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "chunk"], "left_anti")
     left = banded.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("s_a"),
         F.col("band").alias("band_a"), F.col("chunk").alias("chunk_a"),
