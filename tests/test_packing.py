@@ -187,3 +187,29 @@ def test_topk_per_group_exact_and_deterministic(spark):
         token_histogram(df, "tokens"), ["token"], F.sum("count"), k=2
     ).orderBy("rank").collect()
     assert [(r["token"], r["measure"]) for r in top2] == [(2, 3), (5, 3)]
+
+
+def test_pack_duplicate_order_values_deterministic(spark):
+    """Duplicate order_col values must not make packing output depend
+    on partitioning: id_col is the deterministic secondary sort key in
+    the offset prefix-sum (round-4 advice finding)."""
+    rows = [(i, 0, [int(i)] * 5, 5) for i in range(40)]  # ALL order ties
+    df = spark.createDataFrame(
+        rows, "doc_id long, ord long, tokens array<int>, n_tok long"
+    )
+
+    def run(d):
+        return [
+            (r["chunk_id"], tuple(r["tokens"]))
+            for r in pack_chunks(
+                d, "doc_id", "tokens", "n_tok", chunk_len=7, order_col="ord"
+            ).orderBy("chunk_id").collect()
+        ]
+
+    a = run(df.repartition(1))
+    b = run(df.repartition(13))
+    c = run(df.repartition(32).sortWithinPartitions(F.desc("doc_id")))
+    assert a == b == c
+    # and the tie order is ascending doc_id: the stream is 0,0,0,0,0,1,...
+    flat = [t for _, toks in a for t in toks]
+    assert flat == sorted(flat)

@@ -67,3 +67,63 @@ def test_source_mix_rerun_stable(spark):
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in b.select("doc_id").collect()
     )
+
+def test_hash_sample_negative_and_large_keys(spark):
+    """Negative keys (xxhash64-derived ids are negative ~half the time)
+    must sample at ~fraction, not be always-selected; |k| beyond the
+    old k*48271 overflow point must not raise under ANSI. Regression
+    for the round-4 advice finding (plain % follows the dividend)."""
+    df = spark.range(10_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("k")
+    )
+    n_neg = df.filter(F.col("k") < 0).count()
+    assert n_neg > 3000  # the fixture really exercises negative keys
+    kept = hash_sample(df, "k", 0.3, seed=7)
+    assert 0.25 < kept.count() / 10_000 < 0.35
+    # negative-key rows specifically are NOT always selected
+    kept_neg = kept.filter(F.col("k") < 0).count()
+    assert 0.2 < kept_neg / n_neg < 0.4
+    # and the predicate is still partitioning-independent
+    a = {r["k"] for r in kept.collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(11), "k", 0.3, seed=7).collect()}
+    assert a == b
+
+
+def test_hash_unit_sql_parity_negative_keys(spark):
+    """hash_unit_sql stays bit-identical to the Spark expression for
+    negative and near-2^63 keys (the DuckDB twin is the oracle)."""
+    import duckdb
+
+    from timeperiods_spark.operators.sampling import _hash_unit, hash_unit_sql
+
+    keys = [0, 1, -1, -48271, 2**62, -(2**62), 2**63 - 1, -(2**63),
+            123456789123456789, -987654321987654321]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["u"]
+        for r in df.select("k", _hash_unit(F.col("k"), 9).alias("u")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {hash_unit_sql(str(k), 9)}"
+        ).fetchone()
+        assert got[k] == want, f"divergence at key {k}"
+        assert 0.0 <= want < 1.0
+    con.close()
+
+
+def test_source_mix_null_source_gets_budget(spark):
+    """A NULL source group is a real group (groupBy keeps it); its
+    allocated budget must flow back through the null-safe rate join
+    instead of being silently dropped."""
+    rows = [(i, 100, None if i % 2 else "a") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, source string")
+    out, rates = source_mix(
+        df, "doc_id", "n_tok", "source", target_total=50_000, seed=1
+    )
+    assert None in rates and rates[None] > 0
+    null_kept = out.filter(F.col("source").isNull()).agg(F.sum("n_tok")).first()[0]
+    assert null_kept == pytest.approx(25_000, rel=0.2)
+    a_kept = out.filter(F.col("source") == "a").agg(F.sum("n_tok")).first()[0]
+    assert a_kept == pytest.approx(25_000, rel=0.2)

@@ -39,10 +39,19 @@ def _sequence_offsets(
     order_col: str,
     gcols: list[str],
     carry_hints: Optional[dict],
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     """Attach ``__off`` — the exclusive prefix sum of ``len_col`` over
     ``order_col`` within each group — via the bucketed carry planner.
-    ``__t`` (the long order value) stays on the frame for span tests."""
+    ``__t`` (the long order value) stays on the frame for span tests.
+
+    ``tiebreak_col`` (the packing operators pass ``id_col``) breaks
+    ``order_col`` ties deterministically: without it, duplicate order
+    values leave the prefix-sum tie order to the engine's partitioning,
+    so packing output could differ across runs — violating the module's
+    reproducibility contract. Equal-``__t`` rows always land in the
+    same carry bucket (buckets are pure value functions of ``__t``), so
+    the secondary key only has to order within the row window."""
     hints = dict(carry_hints or {})
     base = df.withColumn(
         "__t",
@@ -90,10 +99,13 @@ def _sequence_offsets(
         [F.sum("__len").alias("__bsum")],
         lambda wg: [F.sum("__bsum").over(excl(wg)).alias("__carry")],
     )
+    order_keys = ["__t"]
+    if tiebreak_col and tiebreak_col != order_col:
+        order_keys.append(tiebreak_col)
     wrow = (
         Window.partitionBy(*gcols, "__bk") if gcols
         else Window.partitionBy("__bk")
-    ).orderBy("__t")
+    ).orderBy(*order_keys)
     return stitched.withColumn(
         "__off",
         F.coalesce(F.sum("__len").over(excl(wrow)), F.lit(0).cast("long"))
@@ -166,7 +178,8 @@ def pack_sequences(
     """
     gcols = list(group_by or [])
     order_col = order_col or id_col
-    off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints)
+    off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints,
+                            tiebreak_col=id_col)
     return _span_frame(off, chunk_len).select(
         *gcols, id_col, "chunk_id", "seq_start", "seq_len", "chunk_off"
     )
@@ -196,7 +209,8 @@ def pack_chunks(
     """
     gcols = list(group_by or [])
     order_col = order_col or id_col
-    off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints)
+    off = _sequence_offsets(df, len_col, order_col, gcols, carry_hints,
+                            tiebreak_col=id_col)
     pieces = _span_frame(off, chunk_len).select(
         *gcols,
         "chunk_id",

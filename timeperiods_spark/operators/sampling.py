@@ -43,20 +43,34 @@ def _seed_mult(seed: int) -> int:
 
 def _hash_unit(key: Column, seed: int) -> Column:
     """Deterministic pseudo-uniform value in [0, 1) from a long-castable
-    key: two MINSTD-style rounds, the second with a seed-keyed
-    multiplier. Every product stays below 2^62 (fits 64-bit signed in
-    both engines). Portable to ANSI SQL verbatim (:func:`hash_unit_sql`)."""
-    k = key.cast("long")
-    h1 = (k * 48271 + F.lit(11)) % MODULUS
-    h2 = (h1 * F.lit(_seed_mult(seed)) + 3) % MODULUS
+    key: reduce the key into the MINSTD field first (pmod — a plain
+    ``%`` follows the dividend's sign in both Spark and DuckDB, so any
+    negative key would hash negative and be selected at EVERY
+    fraction), then two positive-mod affine rounds. The field
+    reduction also bounds every product below 2^47 for arbitrary
+    64-bit keys (xxhash64-derived ids are negative ~half the time and
+    would overflow ``k * 48271`` under ANSI otherwise). Bit-identical
+    to the pre-pmod version for keys in [0, 2^31-2] — the common
+    small-id case — and portable to ANSI SQL verbatim
+    (:func:`hash_unit_sql`)."""
+    h0 = F.pmod(key.cast("long"), F.lit(MODULUS))
+    h1 = F.pmod(h0 * 48271 + F.lit(11), F.lit(MODULUS))
+    h2 = F.pmod(h1 * F.lit(_seed_mult(seed)) + 3, F.lit(MODULUS))
     return h2.cast("double") / F.lit(float(MODULUS))
 
 
 def hash_unit_sql(key_expr: str, seed: int) -> str:
-    """The DuckDB-verbatim twin of :func:`_hash_unit`."""
-    h1 = f"((CAST({key_expr} AS BIGINT) * 48271 + 11) % {MODULUS})"
-    h2 = f"(({h1} * {_seed_mult(seed)} + 3) % {MODULUS})"
-    return f"(CAST({h2} AS DOUBLE) / {float(MODULUS)})"
+    """The DuckDB-verbatim twin of :func:`_hash_unit` (DuckDB has no
+    pmod; ``((x % M) + M) % M`` is the portable positive mod)."""
+    m = MODULUS
+
+    def _pmod(x: str) -> str:
+        return f"((({x}) % {m} + {m}) % {m})"
+
+    h0 = _pmod(f"CAST({key_expr} AS BIGINT)")
+    h1 = _pmod(f"{h0} * 48271 + 11")
+    h2 = _pmod(f"{h1} * {_seed_mult(seed)} + 3")
+    return f"(CAST({h2} AS DOUBLE) / {float(m)})"
 
 
 def hash_sample(
@@ -128,11 +142,18 @@ def source_mix(
     spark = df.sparkSession
     rate_map = spark.createDataFrame(
         [(s, r) for s, r in rates.items()],
-        f"{source_col} string, __rate double",
+        "__mix_src string, __rate double",
     )
+    # eqNullSafe: groupBy keeps a NULL source group, so its budget must
+    # flow back through the join — a plain equi-join would coalesce the
+    # NULL group's rate to 0 and silently drop every row of it.
     out = (
-        df.join(F.broadcast(rate_map), source_col, "left")
+        df.join(
+            F.broadcast(rate_map),
+            df[source_col].eqNullSafe(rate_map["__mix_src"]),
+            "left",
+        )
         .filter(_hash_unit(F.col(key_col), seed) < F.coalesce("__rate", F.lit(0.0)))
-        .drop("__rate")
+        .drop("__mix_src", "__rate")
     )
     return out, rates

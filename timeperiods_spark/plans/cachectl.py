@@ -26,6 +26,7 @@ Contract notes:
 from __future__ import annotations
 
 import threading
+import warnings
 from typing import Dict, List, Optional
 
 from pyspark import StorageLevel
@@ -37,6 +38,15 @@ _REGISTRY: Dict[str, DataFrame] = {}
 # pop/put and the loser's frame leaks unreferenced — the exact
 # unbounded growth this module exists to prevent
 _LOCK = threading.Lock()
+
+#: per-tag eviction counts — a tag evicted many times in one session
+#: means concurrent (or lazily-consumed) same-tag pipelines are
+#: thrashing the slot and silently recomputing the intermediate
+_EVICTIONS: Dict[str, int] = {}
+_WARNED: set = set()
+#: evictions of one tag before the once-per-tag thrash warning fires;
+#: the first few are the normal repeated-operator-call shape
+EVICTION_WARN_THRESHOLD = 3
 
 
 def _unpersist_quietly(df: DataFrame) -> None:
@@ -57,8 +67,25 @@ def managed_persist(
     with _LOCK:
         prev = _REGISTRY.get(tag)
         _REGISTRY[tag] = out
+        warn = False
+        if prev is not None and prev is not out:
+            n = _EVICTIONS[tag] = _EVICTIONS.get(tag, 0) + 1
+            if n >= EVICTION_WARN_THRESHOLD and tag not in _WARNED:
+                _WARNED.add(tag)
+                warn = True
     if prev is not None and prev is not out:
         _unpersist_quietly(prev)
+        if warn:
+            warnings.warn(
+                f"cachectl: tag '{tag}' evicted {EVICTION_WARN_THRESHOLD}+ "
+                "times this session. Benign if each call's result was "
+                "materialized before the next call; but concurrent or "
+                "lazily-consumed same-tag calls are silently recomputing "
+                "this intermediate every time (correctness-safe, cache "
+                "benefit lost). Materialize results promptly or call "
+                "release() between pipeline stages. Warned once per tag.",
+                stacklevel=2,
+            )
     return out
 
 
@@ -70,6 +97,11 @@ def release(tag: Optional[str] = None) -> int:
         dropped = [
             _REGISTRY.pop(t) for t in tags if t in _REGISTRY
         ]
+        # an explicit release is the caller doing lifecycle correctly —
+        # start the thrash accounting fresh for these tags
+        for t in tags:
+            _EVICTIONS.pop(t, None)
+            _WARNED.discard(t)
     for df in dropped:
         _unpersist_quietly(df)
     return len(dropped)
