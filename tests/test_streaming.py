@@ -304,3 +304,77 @@ def test_dedup_ingest_epoch_replay_idempotent(spark, tmp_path):
     bands, survivors = first
     assert len(bands) == len(set(bands))
     assert survivors == [1, 3]
+
+
+def test_dedup_index_compaction(spark, tmp_path):
+    """VERDICT r4 item 4: N epoch dirs → compact → 1 base + tail
+    epochs; index content identical; replay of a compacted epoch is a
+    full no-op; the next incremental batch probes the base correctly."""
+    import os
+
+    from timeperiods_spark.streaming import dedup_index as dix
+    from timeperiods_spark.streaming.stream_ingest import dedup_ingest_epoch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the park today",
+        "an entirely different document about streaming compaction and manifests",
+        "numbers and symbols 123 456 mixed into this third document here",
+        "yet another unrelated text about spark query planning internals",
+    ]
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    args = dict(id_col="doc_id", text_col="text", index_dir=idx,
+                out_dir=out, verify_threshold=0.4)
+
+    # epochs 0..3: one new doc each plus a near-dup of an older doc
+    for e in range(4):
+        rows = [(e * 10, texts[e])]
+        if e > 0:
+            rows.append((e * 10 + 1, texts[e - 1] + " tail"))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup_ingest_epoch(spark, batch, e, **args)
+
+    bands_root = os.path.join(idx, "bands")
+
+    def index_rows():
+        df = dix.read_live(spark, bands_root)
+        return sorted((r["id"], r["band"], r["bsig"]) for r in df.collect())
+
+    def survivors():
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+
+    before_rows, before_surv = index_rows(), survivors()
+    assert len(dix.live_dirs(bands_root)) == 4
+
+    # compact through epoch 2 (e.g. the last checkpointed one)
+    res = dix.compact_index(spark, idx, through_epoch=2)
+    assert res["bands"] and res["bands"].startswith("__base")
+    assert sorted(dix.live_dirs(bands_root)) == [res["bands"], "__epoch=3"]
+    assert index_rows() == before_rows  # content unchanged
+    assert dix.compacted_through(bands_root) == 2
+
+    # replay of a compacted epoch: full no-op (no dirs, no rows)
+    replay = spark.createDataFrame([(10, texts[1])], "doc_id long, text string")
+    dedup_ingest_epoch(spark, replay, 1, **args)
+    assert sorted(dix.live_dirs(bands_root)) == [res["bands"], "__epoch=3"]
+    assert not os.path.isdir(os.path.join(bands_root, "__epoch=1"))
+    assert index_rows() == before_rows and survivors() == before_surv
+
+    # next batch probes the compacted base: near-dup of epoch-0 doc drops
+    nxt = spark.createDataFrame(
+        [(50, texts[0] + " tiny suffix"), (51, "completely novel fifth text about gardens")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_epoch(spark, nxt, 4, **args)
+    surv = survivors()
+    assert 51 in surv and 50 not in surv
+
+    # second compaction folds base + tail into a new generation
+    res2 = dix.compact_index(spark, idx, through_epoch=4)
+    assert res2["bands"] != res["bands"]
+    assert dix.live_dirs(bands_root) == [res2["bands"]]
+    # all rows preserved across two generations
+    ids = {i for i, _, _ in index_rows()}
+    assert {0, 10, 11, 20, 21, 30, 31, 50, 51} <= ids

@@ -254,31 +254,41 @@ def dedup_ingest_epoch(
     check.) Replay also re-runs the dedup against an index that may
     already contain this batch's signatures, which only ADDS
     self-matches with id_a < id_b — all batch-internal pairs already
-    found — so the survivor set is unchanged too."""
+    found — so the survivor set is unchanged too.
+
+    Index reads and the epoch lifecycle go through
+    ``streaming.dedup_index``: each sub-index keeps a ``_epochs.json``
+    live-set manifest, an epoch becomes reader-visible only at its
+    ``register_epoch`` commit, and ``compact_index`` (run from the
+    maintenance cadence, through the last CHECKPOINTED epoch) folds old
+    epochs into a ``__base<gen>`` dir so the directory count stays
+    bounded. A replay of an already-compacted epoch is a full no-op —
+    its rows are in the base and re-registering is refused."""
     import os
 
     from ..operators.dedup import minhash_dedup_incremental
+    from . import dedup_index as dix
 
     bands_path = os.path.join(index_dir, "bands")
     shingles_path = os.path.join(index_dir, "shingles")
 
-    def _read_index(path: str) -> DataFrame:
-        # epoch dirs are partition-discovered as a __epoch column —
-        # strip it back off; the index consumers key on (id, band)
-        return spark.read.parquet(path).drop("__epoch")
+    if int(epoch_id) <= dix.compacted_through(bands_path):
+        # this epoch was folded into a compacted base: its index rows
+        # and survivors are already durable — rewriting the epoch dir
+        # would resurrect rows the manifest no longer references
+        return
 
     def _epoch_write(df: DataFrame, root: str) -> None:
         df.write.mode("overwrite").parquet(
             os.path.join(root, f"__epoch={int(epoch_id)}")
         )
 
-    have_index = os.path.isdir(bands_path)
     r = minhash_dedup_incremental(
         batch_df,
         id_col,
         text_col,
-        index_bands=_read_index(bands_path) if have_index else None,
-        index_shingles=_read_index(shingles_path) if have_index else None,
+        index_bands=dix.read_live(spark, bands_path),
+        index_shingles=dix.read_live(spark, shingles_path),
         k=k,
         n_hashes=n_hashes,
         bands=bands,
@@ -288,6 +298,11 @@ def dedup_ingest_epoch(
     _epoch_write(r["deduped"], out_dir)
     _epoch_write(r["new_bands"], bands_path)
     _epoch_write(r["new_shingles"], shingles_path)
+    # commit point: the epoch enters the live set only after its data
+    # files are fully on disk (a crash before here leaves invisible
+    # dirs that the replay overwrites, a crash after is idempotent)
+    dix.register_epoch(bands_path, int(epoch_id))
+    dix.register_epoch(shingles_path, int(epoch_id))
     # release the per-batch shingle cache: a long-running stream would
     # otherwise accumulate one persisted frame per epoch
     r["new_shingles"].unpersist()
@@ -321,8 +336,13 @@ def stream_dedup_ingest(
     whole-corpus single_hop dedup at every point in time.
 
     Index layout: ``<index_dir>/bands`` (id, band, bsig) and
-    ``<index_dir>/shingles`` (id, hashes), parquet partitioned by
-    ``__epoch`` — partition/bucket by (band, hash(bsig)) at real scale.
+    ``<index_dir>/shingles`` (id, hashes), one ``__epoch=<id>`` dir per
+    micro-batch under a ``_epochs.json`` live-set manifest — partition/
+    bucket by (band, hash(bsig)) at real scale. Run
+    ``streaming.dedup_index.compact_index(spark, index_dir,
+    through_epoch=<last checkpointed>)`` on a maintenance cadence to
+    fold old epochs into a base dir; otherwise the directory count
+    grows one per batch forever.
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
