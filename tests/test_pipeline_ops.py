@@ -715,3 +715,38 @@ def test_minhash_index_roundtrips_through_parquet(spark, docs, tmp_path):
     assert {r["doc_id"] for r in mem.select("doc_id").collect()} == {
         r["doc_id"] for r in stored.select("doc_id").collect()
     }
+
+
+def test_minhash_hot_bucket_warns_without_cap(spark):
+    """VERDICT r4 finding 2: with max_bucket_size=None a boilerplate
+    corpus silently pays m^2/2 from one over-popular bucket — the
+    operator must measure the skew and warn, without changing results."""
+    import warnings as w
+
+    from timeperiods_spark.operators.dedup import minhash_candidate_pairs
+
+    # 80 near-identical docs → giant (band,bsig) buckets, plus a few
+    # distinct ones so the mean stays low
+    rows = [(i, "the same boilerplate template text repeated here") for i in range(80)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        n_uncapped = minhash_candidate_pairs(
+            docs, "doc_id", "text", verify_threshold=0.9
+        ).count()
+        msgs = [str(x.message) for x in rec if "hottest" in str(x.message)]
+    assert len(msgs) == 1 and "max_bucket_size" in msgs[0]
+    assert n_uncapped >= 80 * 79 // 2  # the clique really is quadratic
+
+    # warning is suppressible, and the capped path does not warn
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        minhash_candidate_pairs(
+            docs, "doc_id", "text", verify_threshold=0.9, hot_bucket_warn=False
+        ).count()
+        minhash_candidate_pairs(
+            docs, "doc_id", "text", verify_threshold=0.9, max_bucket_size=16
+        ).count()
+        assert not [x for x in rec2 if "hottest" in str(x.message)]

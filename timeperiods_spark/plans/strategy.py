@@ -67,6 +67,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: crossover with margin against the estimate's approx_count_distinct
 #: error.
 AUTO_BIN_PAIRS = 100_000_000
+#: stale-hint padding: an ``auto_stats`` hint whose estimate lands
+#: within this factor BELOW the bin cliff triggers a real recheck — a
+#: hint computed before a 10x append would otherwise silently keep
+#: group_equi right where it becomes quadratic (the measured 97x sf1.0
+#: blowout). Hints far below the cliff stay action-free; hints above
+#: it pick bin, the direction that is safe even when stale.
+AUTO_STATS_RECHECK_BAND = 4
 
 
 def _group_cond(n_groups: int) -> Optional[Column]:
@@ -132,7 +139,15 @@ def build_overlap_pairs(
         else:
             if auto_stats is not None:
                 nx, ny, g = auto_stats
-            else:
+                est = (
+                    int(nx or 0) * int(ny or 0) // max(1, int(g or 0))
+                )
+                if AUTO_BIN_PAIRS // AUTO_STATS_RECHECK_BAND < est <= AUTO_BIN_PAIRS:
+                    # hint says group_equi but sits inside the cliff's
+                    # padding band — pay the one stats action to confirm
+                    # against the data as it is NOW
+                    auto_stats = None
+            if auto_stats is None:
                 row = xw.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.approx_count_distinct(
