@@ -107,14 +107,23 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     a slower-than-true-machine number, never a flattering one.
     ``<q>_clean`` records whether the CHOSEN rep was bracket-clean.
     Rep 1 includes JVM/JIT warmup, so min-of-reps reads as
-    steady-state."""
+    steady-state.
+
+    After the fixed passes, queries whose every rep read bracket-dirty
+    get up to SPARK_GRAFT_BENCH_EXTRA_PASSES extra full passes (full
+    because tier_rollup feeds gorilla), each positioned at an
+    observed-quiet start by :func:`_wait_quiet` — r4 shipped six
+    headline values with every clean flag false because both blind reps
+    landed inside the same steal burst."""
     extras: dict[str, float] = {}
     state: dict = {}
     queries = _build_queries(spark, state, extras)
+    thr = _probe_threshold(HEAD_CANARY_THREADS)
 
     all_times: dict[str, list[float]] = {n: [] for n, _ in queries}
     all_probes: dict[str, list[list[float]]] = {n: [] for n, _ in queries}
-    for _rep in range(HEAD_REPS):
+
+    def one_pass() -> None:
         for name, fn in queries:
             _, wall, brackets = _bracketed_call(fn, HEAD_CANARY_THREADS)
             all_times[name].append(wall)
@@ -123,7 +132,26 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         if cleanup:
             cleanup()
 
-    thr = _probe_threshold(HEAD_CANARY_THREADS)
+    for _rep in range(HEAD_REPS):
+        one_pass()
+
+    def all_dirty() -> list[str]:
+        return [
+            n for n, probes in all_probes.items()
+            if not any(max(p) <= thr for p in probes)
+        ]
+
+    extra_cap = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
+    t_extra0 = time.time()
+    extra_budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_S", "420"))
+    for _ in range(extra_cap):
+        if not all_dirty() or time.time() - t_extra0 > extra_budget * 0.4:
+            break
+        _wait_quiet(
+            HEAD_CANARY_THREADS,
+            extra_budget - (time.time() - t_extra0) - 90.0,
+        )
+        one_pass()
     times: dict[str, float] = {}
     for name in all_times:
         walls, probes = all_times[name], all_probes[name]
@@ -394,6 +422,24 @@ def _probe_threshold(n_threads: int) -> float:
     return 0.28 + 0.015 * n_threads
 
 
+def _wait_quiet(width: int, max_wait_s: float, need: int = 2) -> bool:
+    """Sleep-probe until ``need`` consecutive canary samples read quiet,
+    or ``max_wait_s`` elapses. Co-tenant steal on this host arrives in
+    multi-minute bursts (r4: all 12 back-to-back scaling reps dirty), so
+    positioning a rep's START at an observed-quiet moment beats blind
+    back-to-back launches; the continuous in-run sampler still gates the
+    rep itself. Returns whether quiet was observed (caller runs the rep
+    either way — waiting longer than the window buys nothing)."""
+    t0 = time.time()
+    streak = 0
+    while time.time() - t0 < max_wait_s:
+        streak = streak + 1 if _cpu_probe(width) <= _probe_threshold(width) else 0
+        if streak >= need:
+            return True
+        time.sleep(2.0 if streak else 8.0)
+    return False
+
+
 def _sampled_run(cmd: list[str], cores: int) -> tuple[dict, list[float]]:
     """Run one tier-job subprocess while CONTINUOUSLY sampling the
     width-matched steal canary in this process. Bracketing probes
@@ -458,24 +504,39 @@ class _PairState:
     def slow_leg_clean(self) -> bool:
         return any(self.clean(self.lo, j) for j in range(len(self.runs[self.lo])))
 
-    def one_round(self, tmp: str) -> None:
+    def one_leg(self, cores: int, tmp: str) -> None:
         t0 = time.time()
-        rep = len(self.runs[self.lo])
-        for cores in (self.lo, self.hi):
-            cat = os.path.join(tmp, f"cat{cores}_{rep}")
-            man = os.path.join(tmp, f"man{cores}_{rep}")
-            m, samples = _sampled_run(
-                [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
-                 "--n-docs", str(self.n_scale), "--batches", "1",
-                 "--catalog", cat, "--manifest", man,
-                 "--master", f"local[{cores}]"],
-                cores,
-            )
-            self.runs[cores].append(m)
-            self.probes[cores].append([round(s, 3) for s in samples])
-            shutil.rmtree(cat, ignore_errors=True)
-            shutil.rmtree(man, ignore_errors=True)
+        rep = len(self.runs[cores])
+        cat = os.path.join(tmp, f"cat{cores}_{rep}")
+        man = os.path.join(tmp, f"man{cores}_{rep}")
+        m, samples = _sampled_run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
+             "--n-docs", str(self.n_scale), "--batches", "1",
+             "--catalog", cat, "--manifest", man,
+             "--master", f"local[{cores}]"],
+            cores,
+        )
+        self.runs[cores].append(m)
+        self.probes[cores].append([round(s, 3) for s in samples])
+        shutil.rmtree(cat, ignore_errors=True)
+        shutil.rmtree(man, ignore_errors=True)
         self.round_walls.append(round(time.time() - t0, 1))
+
+    def one_round(self, tmp: str) -> None:
+        for cores in (self.lo, self.hi):
+            self.one_leg(cores, tmp)
+
+    def next_leg(self) -> int | None:
+        """The neediest leg for the north-rule claim, or None when the
+        pair is settled: (1) the SLOW leg until it has a clean rep — a
+        clean slow leg is the one hard requirement for the lower-bound
+        efficiency claim; (2) the FAST leg until clean — dirty fast reps
+        only inflate its min, so clean tightens it; (3) settled."""
+        if not any(self.clean(self.lo, j) for j in range(len(self.runs[self.lo]))):
+            return self.lo
+        if not any(self.clean(self.hi, j) for j in range(len(self.runs[self.hi]))):
+            return self.hi
+        return None
 
     def _select(self, cores: int) -> tuple[dict, bool]:
         # prefer the best CLEAN-sampled rep (steal only ever inflates);
@@ -565,19 +626,42 @@ def main():
         extras.update(gorilla_bulk_throughput(spark))
         spark.stop()
 
-        # phase 3: keep adding interleaved pair-rounds until both legs
-        # have a clean rep, bounded by rounds AND wall budget. The rule
-        # keys on the steal canary only, never on the efficiency value
-        # — hygiene, not cherry-picking.
+        # phase 3: quiet-gated per-leg scheduling until both legs have
+        # a clean rep, bounded by legs AND wall budget. Steal arrives in
+        # multi-minute bursts here, so each leg first HUNTS for a quiet
+        # start (bounded sleep-probe), then runs regardless — waiting
+        # costs budget but a dirty leg costs budget AND proves nothing.
+        # The rule keys on the steal canary only, never on the
+        # efficiency value — hygiene, not cherry-picking.
         scaling: dict = {}
         if scaling_on:
-            est_round = max(primary.round_walls[-1], 60.0)
-            while (
-                not primary.has_clean_pair()
-                and len(primary.round_walls) < max_rounds
-                and time.time() - t_bench0 + est_round < budget
-            ):
-                primary.one_round(tmp)
+            max_legs = 2 * max_rounds
+            leg_est = {
+                c: max((m["seconds"] for m in primary.runs[c]), default=90.0)
+                + 25.0
+                for c in (lo, hi)
+            }
+
+            def budget_left() -> float:
+                return budget - (time.time() - t_bench0)
+
+            n_extra = 0
+            while n_extra < max_legs:
+                cores = primary.next_leg()
+                if cores is None:
+                    break
+                est = leg_est.get(cores, 120.0)
+                if budget_left() < est + 30.0:
+                    break
+                # spend up to half the remaining slack hunting a quiet
+                # start for this leg (min 30 s so a late leg still gets
+                # a token hunt), then run it either way
+                _wait_quiet(
+                    min(4, cores), max(30.0, (budget_left() - est) * 0.5)
+                )
+                primary.one_leg(cores, tmp)
+                leg_est[cores] = primary.runs[cores][-1]["seconds"] + 25.0
+                n_extra += 1
             scaling, det = primary.summary()
             detail["scaling"] = det
 
@@ -585,17 +669,18 @@ def main():
                 "SPARK_GRAFT_SCALE_CORES2",
                 "4,16" if (lo, hi) == (2, 8) else "2,8",
             )
-            if sec and sec != "0" and (
-                time.time() - t_bench0 + 2 * est_round < budget
-            ):
+            est_round = sum(leg_est.values())
+            if sec and sec != "0" and budget_left() > est_round + 30.0:
                 lo2, hi2 = (int(c) for c in sec.split(","))
                 secondary = _PairState(lo2, hi2, n_scale)
+                _wait_quiet(4, max(20.0, (budget_left() - est_round) * 0.3))
                 secondary.one_round(tmp)
-                if (
-                    not secondary.has_clean_pair()
-                    and time.time() - t_bench0 + est_round < budget
-                ):
-                    secondary.one_round(tmp)
+                for _ in range(2 * max_rounds):
+                    cores2 = secondary.next_leg()
+                    if cores2 is None or budget_left() < est_round / 2 + 30.0:
+                        break
+                    _wait_quiet(min(4, cores2), 45.0)
+                    secondary.one_leg(cores2, tmp)
                 sec_c, sec_d = secondary.summary()
                 detail["scaling_secondary"] = sec_d
                 # compact line carries only the curve point

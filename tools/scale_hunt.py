@@ -1,0 +1,166 @@
+"""Quiet-window hunter for the north-rule scaling pair.
+
+The host shows multi-minute co-tenant steal bursts (BENCH_DETAIL r4:
+every one of 12 back-to-back reps read 23-131 steal-seconds), so
+back-to-back reps inside one bench wall keep missing quiet windows.
+This tool runs for hours in the background: it probes the steal canary
+cheaply, and ONLY when the host reads quiet does it spend a scaling
+leg (the same `jobs/run_tiers.py` subprocess `bench.py` uses, with the
+same continuous canary sampling and the same steal-seconds clean
+gate). Results accumulate in a JSONL state file; the summary reports
+the best clean pair per (lo,hi) configuration.
+
+Coordination: skips a cycle while /tmp/spark_graft_busy exists (the
+builder's own heavy jobs), and holds /tmp/spark_graft_leg_running
+while a leg is being measured so other work can avoid polluting it.
+
+Usage:
+    python tools/scale_hunt.py --hours 5 --state /tmp/scale_hunt.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (reuses _cpu_probe/_probe_threshold/_sampled_run)
+
+BUSY_FLAG = "/tmp/spark_graft_busy"
+LEG_FLAG = "/tmp/spark_graft_leg_running"
+
+
+def _quiet_now(width: int, need: int = 2) -> bool:
+    """`need` consecutive canary samples under the quiet threshold."""
+    thr = bench._probe_threshold(width)
+    for _ in range(need):
+        if bench._cpu_probe(width) > thr:
+            return False
+        time.sleep(1.0)
+    return True
+
+
+def run_leg(cores: int, n_docs: int, state_path: str) -> dict:
+    tmp = tempfile.mkdtemp(prefix="hunt_leg_")
+    try:
+        with open(LEG_FLAG, "w") as f:
+            f.write(str(os.getpid()))
+        m, samples = bench._sampled_run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_tiers.py"),
+             "--n-docs", str(n_docs), "--batches", "1",
+             "--catalog", os.path.join(tmp, "cat"),
+             "--manifest", os.path.join(tmp, "man"),
+             "--master", f"local[{cores}]"],
+            cores,
+        )
+    finally:
+        try:
+            os.remove(LEG_FLAG)
+        except OSError:
+            pass
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    steal = bench._steal_seconds(samples, cores)
+    rec = {
+        "t": round(time.time(), 1),
+        "cores": cores,
+        "n_docs": n_docs,
+        "seconds": m["seconds"],
+        "docs_per_sec": m["docs_per_sec"],
+        "steal_s": steal,
+        "clean": steal <= max(0.4, 0.03 * m["seconds"]),
+        "samples": [round(s, 3) for s in samples],
+    }
+    with open(state_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
+def summarize(state_path: str, pairs: list[tuple[int, int]]) -> dict:
+    recs = []
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    out: dict = {"n_legs": len(recs)}
+    by_cores: dict[int, list[dict]] = {}
+    for r in recs:
+        by_cores.setdefault(r["cores"], []).append(r)
+    for lo, hi in pairs:
+        los, his = by_cores.get(lo, []), by_cores.get(hi, [])
+        clean_lo = [r for r in los if r["clean"]]
+        if not los or not his:
+            continue
+        # slow leg: best CLEAN rep (required for the lower-bound claim);
+        # fast leg: min over all reps (steal only inflates, so the min
+        # is direction-safe regardless of contamination)
+        sel_lo = min(clean_lo or los, key=lambda r: r["seconds"])
+        sel_hi = min(his, key=lambda r: r["seconds"])
+        eff = round(
+            (sel_hi["docs_per_sec"] / sel_lo["docs_per_sec"]) / (hi / lo), 3
+        )
+        out[f"pair_{lo}_{hi}"] = {
+            "efficiency": eff,
+            "slow_leg_clean": bool(clean_lo),
+            "fast_leg_clean": sel_hi["clean"],
+            "lo_seconds": sel_lo["seconds"],
+            "hi_seconds": sel_hi["seconds"],
+            "lo_steal": sel_lo["steal_s"],
+            "hi_steal": sel_hi["steal_s"],
+            "n_lo": len(los),
+            "n_hi": len(his),
+            "n_lo_clean": len(clean_lo),
+            "n_hi_clean": sum(1 for r in his if r["clean"]),
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours", type=float, default=5.0)
+    ap.add_argument("--state", default="/tmp/scale_hunt.jsonl")
+    ap.add_argument("--n-docs", type=int, default=512_000_000)
+    ap.add_argument("--pairs", default="2,8;4,16")
+    ap.add_argument("--probe-every", type=float, default=45.0)
+    args = ap.parse_args()
+    pairs = [tuple(int(c) for c in p.split(",")) for p in args.pairs.split(";")]
+
+    deadline = time.time() + args.hours * 3600
+    bench._cpu_probe(4)  # warm the probe machinery
+    while time.time() < deadline:
+        if os.path.exists(BUSY_FLAG):
+            time.sleep(args.probe_every)
+            continue
+        summ = summarize(args.state, pairs)
+        # neediest leg first: a slow leg with no clean rep beats
+        # everything; then legs with the fewest attempts
+        want: list[int] = []
+        for lo, hi in pairs:
+            p = summ.get(f"pair_{lo}_{hi}", {})
+            if not p.get("slow_leg_clean"):
+                want.append(lo)
+        for lo, hi in pairs:
+            p = summ.get(f"pair_{lo}_{hi}", {})
+            if not p.get("fast_leg_clean"):
+                want.append(hi)
+        for lo, hi in pairs:
+            want += [lo, hi]  # keep refining mins once all clean
+        cores = want[0]
+        if _quiet_now(min(4, cores)):
+            rec = run_leg(cores, args.n_docs, args.state)
+            print(json.dumps(rec | {"summary": summarize(args.state, pairs)}),
+                  flush=True)
+        else:
+            time.sleep(args.probe_every)
+    print(json.dumps({"final": summarize(args.state, pairs)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
