@@ -62,50 +62,6 @@ def _pack_chunks(bits: np.ndarray, lens: np.ndarray) -> bytes:
     return np.packbits(bitvals).tobytes()
 
 
-class _BitReader:
-    """MSB-first bit reader over 64-bit words.
-
-    Field reads are O(1) Python-int shifts (at most two words touched),
-    not per-bit loops — the decode path is sequential by nature (each
-    token's position depends on the previous token's length), so the
-    constant factor per read is what matters. ~50x over the per-bit
-    loop it replaced."""
-
-    __slots__ = ("w", "i")
-
-    def __init__(self, buf: bytes):
-        pad = (-len(buf)) % 8
-        # sentinel word so peek() near the end never indexes past the
-        # last word (encoded streams can end mid-word)
-        self.w = np.frombuffer(
-            buf + b"\x00" * (pad + 8), dtype=">u8"
-        ).tolist()
-        self.i = 0
-
-    def take(self, n: int) -> int:
-        i = self.i
-        self.i = i + n
-        q, r = divmod(i, 64)
-        end = r + n
-        if end <= 64:
-            return (self.w[q] >> (64 - end)) & ((1 << n) - 1)
-        lo = end - 64
-        hi = self.w[q] & ((1 << (64 - r)) - 1)
-        return (hi << lo) | (self.w[q + 1] >> (128 - end))
-
-    def peek4(self) -> int:
-        q, r = divmod(self.i, 64)
-        end = r + 4
-        if end <= 64:
-            return (self.w[q] >> (64 - end)) & 0xF
-        lo = end - 64
-        hi = self.w[q] & ((1 << (64 - r)) - 1)
-        return ((hi << lo) | (self.w[q + 1] >> (128 - end))) & 0xF
-
-    def skip(self, n: int) -> None:
-        self.i += n
-
-
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Count leading zeros of uint64 (vectorized; 64 for x == 0)."""
     bl = np.zeros(x.shape, dtype=np.int64)
@@ -253,23 +209,24 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode one block → (periods int64, values float64 with NaN for
     encoded NULLs).
 
-    The stream is a prefix code whose token positions are
-    data-dependent, so decode is sequential IN GENERAL — but the two
-    dominant token shapes form fixed-stride runs that vectorize:
+    Two passes. Pass 1 is a POSITION scan: it walks the prefix code
+    recording, per point, only where each payload lives (bit position,
+    width, shift) — never materializing a timestamp or value. The two
+    dominant token shapes are probed as fixed-stride runs with one
+    numpy mask (run A ``'0' '0'``: 2 bits/point; run B ``'0' '10'+w``:
+    ``3+w`` bits/point); a matching run advances the cursor with at
+    most three slice fills, and run A writes NOTHING (the deferred
+    streams are prefilled with its contribution). Everything else —
+    window changes, irregular deltas — steps point-by-point over a
+    bytes twin of the bit array (Python-int indexing, no numpy scalar
+    overhead), recording positions.
 
-    - run A ``'0' '0'`` (regular period, repeated value): 2 bits/point,
-      pure arithmetic fill;
-    - run B ``'0' '10'+w`` (regular period, dense values in the current
-      w-bit window): ``3+w`` bits/point; payloads gather in one fancy
-      index and the value chain is an XOR prefix scan
-      (``np.bitwise_xor.accumulate``).
-
-    A numpy mask finds the longest prefix matching the assumed shape;
-    the first non-matching point falls back to the scalar word-reader
-    loop (which alone handles window changes and irregular deltas). A
-    short cool-off after tiny runs keeps adversarial alternating
-    streams from paying one numpy dispatch per point — worst case is
-    the old scalar loop, common shapes are ~10x faster."""
+    Pass 2 reconstructs in O(distinct widths) vector ops: timestamp
+    payloads gather per width class and integrate with two cumsums
+    (delta-of-delta); value payloads gather per window width, shift
+    elementwise, and chain with one ``np.bitwise_xor.accumulate`` —
+    an xor of 0 (run A, NULL repeats) is the scan's identity, so
+    deferral needs no run bookkeeping at all."""
     n = int(np.frombuffer(blob[:4], dtype=np.uint32)[0])
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -280,120 +237,148 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         np.frombuffer(blob[20 : 20 + nbytes], dtype=np.uint8)
     )[:n].astype(bool)
 
-    p_arr = np.empty(n, dtype=np.int64)
-    v_arr = np.empty(n, dtype=np.uint64)
-    p_arr[0] = first_p
-    v_arr[0] = first_v
-    if n > 1:
-        stream = blob[20 + nbytes :]
-        r = _BitReader(stream)
-        peek4, take, skip = r.peek4, r.take, r.skip
-        total_bits = 8 * len(stream)
-        bits = np.zeros(total_bits + 80, dtype=np.uint8)
-        if stream:
-            bits[:total_bits] = np.unpackbits(
-                np.frombuffer(stream, dtype=np.uint8)
-            )
-        bu = np.frombuffer(stream + b"\x00" * 17, dtype=np.uint8)
-        delta = 0
-        period = first_p
-        vcur = int(first_v)
-        prev_len, shift = -1, 0
-        i = 1
-        cooloff = 0
-        #: below this run length the numpy dispatch overhead loses to
-        #: the scalar loop; after such a run, stay scalar for a while
-        min_run = 8
-        while i < n:
-            pos = r.i
-            if cooloff == 0 and pos < total_bits and bits[pos] == 0:
-                rem = n - i
-                if bits[pos + 1] == 0:
-                    # candidate run A: stride 2. Cap the probe window:
-                    # the mask is O(kmax) work even when the run ends
-                    # after a few points, and a capped run that fills
-                    # the window just re-enters the fast path on the
-                    # next loop iteration at zero cost.
-                    kmax = min(rem, (total_bits - pos + 1) // 2, 4096)
-                    p = pos + 2 * np.arange(kmax, dtype=np.int64)
-                    ok = (bits[p] == 0) & (bits[p + 1] == 0)
+    if n == 1:
+        p_arr = np.array([first_p], dtype=np.int64)
+        v_arr = np.array([first_v], dtype=np.uint64)
+        values = v_arr.view(np.float64)
+        values[null_mask] = np.nan
+        return p_arr, values
+
+    stream = blob[20 + nbytes :]
+    total_bits = 8 * len(stream)
+    bits = np.zeros(total_bits + 80, dtype=np.uint8)
+    if stream:
+        bits[:total_bits] = np.unpackbits(np.frombuffer(stream, dtype=np.uint8))
+    bitsb = bits.tobytes()  # Python-int indexing for the scalar walk
+    padded = stream + b"\x00" * 17
+    bu = np.frombuffer(padded, dtype=np.uint8)
+
+    # deferred per-point payload streams (index 0 = the header point,
+    # which contributes nothing)
+    tpos = np.full(n, -1, dtype=np.int64)
+    twidth = np.zeros(n, dtype=np.int8)
+    vpos = np.full(n, -1, dtype=np.int64)
+    vwidth = np.zeros(n, dtype=np.int8)
+    vshift = np.zeros(n, dtype=np.int8)
+
+    prev_len, shift = -1, 0
+    pos = 0
+    i = 1
+    cooloff = 0
+    #: below this run length the probe's numpy dispatch loses to the
+    #: scalar walk; after such a run, stay scalar for a while
+    min_run = 4
+    while i < n:
+        if cooloff == 0 and pos < total_bits and bits[pos] == 0:
+            rem = n - i
+            if bits[pos + 1] == 0:
+                # candidate run A: regular period, repeated value.
+                # Cap the probe window: the mask is O(kmax) work even
+                # when the run ends early, and a capped run re-enters
+                # the fast path on the next iteration at zero cost.
+                kmax = min(rem, (total_bits - pos + 1) // 2, 4096)
+                p = pos + 2 * np.arange(kmax, dtype=np.int64)
+                ok = (bits[p] == 0) & (bits[p + 1] == 0)
+                k = int(np.argmin(ok)) if not ok.all() else kmax
+                if k > 0:
+                    # dod 0 and xor 0 are the prefilled defaults:
+                    # nothing to record
+                    pos += 2 * k
+                    i += k
+                    cooloff = 0 if k >= min_run else 12
+                    continue
+            elif prev_len > 0 and bits[pos + 2] == 0:
+                # candidate run B: regular period, xor in the current
+                # w-bit window — stride 3 + prev_len
+                s = 3 + prev_len
+                kmax = min(rem, (total_bits - pos + s - 1) // s, 4096)
+                if kmax > 0:
+                    p = pos + s * np.arange(kmax, dtype=np.int64)
+                    ok = (bits[p] == 0) & (bits[p + 1] == 1) & (
+                        bits[p + 2] == 0
+                    )
                     k = int(np.argmin(ok)) if not ok.all() else kmax
                     if k > 0:
-                        p_arr[i : i + k] = period + delta * np.arange(
-                            1, k + 1, dtype=np.int64
-                        )
-                        v_arr[i : i + k] = np.uint64(vcur)
-                        period += delta * k
-                        r.i = pos + 2 * k
+                        vpos[i : i + k] = p[:k] + 3
+                        vwidth[i : i + k] = prev_len
+                        vshift[i : i + k] = shift
+                        pos += s * k
                         i += k
-                        cooloff = 0 if k >= min_run else 16
+                        cooloff = 0 if k >= min_run else 12
                         continue
-                elif prev_len > 0 and bits[pos + 2] == 0:
-                    # candidate run B: stride 3 + prev_len (probe
-                    # window capped like run A; windows rotate every
-                    # _SEG xors anyway, so longer probes buy nothing)
-                    s = 3 + prev_len
-                    kmax = min(rem, (total_bits - pos + s - 1) // s, 1024)
-                    if kmax > 0:
-                        p = pos + s * np.arange(kmax, dtype=np.int64)
-                        ok = (bits[p] == 0) & (bits[p + 1] == 1) & (
-                            bits[p + 2] == 0
-                        )
-                        k = int(np.argmin(ok)) if not ok.all() else kmax
-                        if k > 0:
-                            payloads = _gather_bits(bu, p[:k] + 3, prev_len)
-                            xors = payloads << np.uint64(shift)
-                            vals = np.uint64(vcur) ^ np.bitwise_xor.accumulate(
-                                xors
-                            )
-                            v_arr[i : i + k] = vals
-                            p_arr[i : i + k] = period + delta * np.arange(
-                                1, k + 1, dtype=np.int64
-                            )
-                            vcur = int(vals[-1])
-                            period += delta * k
-                            r.i = pos + s * k
-                            i += k
-                            cooloff = 0 if k >= min_run else 16
-                            continue
-            if cooloff:
-                cooloff -= 1
-            # ---- scalar step: one point via the word reader --------
-            # timestamp: '0' | '10'+7 | '110'+9 | '1110'+12 | '1111'+64
-            t = peek4()
-            if t < 8:
-                skip(1)
-            else:
-                if t < 12:
-                    skip(2)
-                    delta += take(7) - 63
-                elif t < 14:
-                    skip(3)
-                    delta += take(9) - 255
-                elif t == 14:
-                    skip(4)
-                    delta += take(12) - 2047
-                else:
-                    skip(4)
-                    raw = take(64)
-                    delta += raw - (1 << 64) if raw >= (1 << 63) else raw
-            period += delta
-            p_arr[i] = period
-            # value: '0' | '10'+len bits | '11'+6b lead+6b len-1+bits
-            t = peek4()
-            if t < 8:
-                skip(1)  # xor == 0: value repeats
-            else:
-                if t < 12:  # reuse window
-                    skip(2)
-                else:  # new window
-                    skip(2)
-                    lead = take(6)
-                    prev_len = take(6) + 1
-                    shift = 64 - lead - prev_len
-                vcur ^= take(prev_len) << shift
-            v_arr[i] = np.uint64(vcur)
-            i += 1
+        if cooloff:
+            cooloff -= 1
+        # ---- scalar step: record one point's payload positions -----
+        # timestamp: '0' | '10'+7 | '110'+9 | '1110'+12 | '1111'+64
+        if bitsb[pos] == 0:
+            pos += 1
+        elif bitsb[pos + 1] == 0:
+            tpos[i] = pos + 2
+            twidth[i] = 7
+            pos += 9
+        elif bitsb[pos + 2] == 0:
+            tpos[i] = pos + 3
+            twidth[i] = 9
+            pos += 12
+        elif bitsb[pos + 3] == 0:
+            tpos[i] = pos + 4
+            twidth[i] = 12
+            pos += 16
+        else:
+            tpos[i] = pos + 4
+            twidth[i] = 64
+            pos += 68
+        # value: '0' | '10'+len bits | '11'+6b lead+6b (len-1)+bits
+        if bitsb[pos] == 0:
+            pos += 1  # xor == 0: value repeats
+        else:
+            if bitsb[pos + 1] == 0:  # reuse window
+                pos += 2
+            else:  # new window: lead/len must resolve NOW (they
+                # determine every later '10' width in this regime) —
+                # one 12-bit field read over the PACKED stream
+                fpos = pos + 2
+                fend = fpos + 12
+                b0, b1 = fpos >> 3, (fend + 7) >> 3
+                word = (
+                    int.from_bytes(padded[b0:b1], "big")
+                    >> ((b1 << 3) - fend)
+                ) & 0xFFF
+                lead, prev_len = word >> 6, (word & 63) + 1
+                shift = 64 - lead - prev_len
+                pos = fend
+            vpos[i] = pos
+            vwidth[i] = prev_len
+            vshift[i] = shift
+            pos += prev_len
+        i += 1
+
+    # ---- pass 2: vectorized reconstruction --------------------------
+    # timestamps: gather dods per width class, then two prefix sums
+    dod = np.zeros(n, dtype=np.int64)
+    tm = tpos >= 0
+    if tm.any():
+        for w, bias in ((7, 63), (9, 255), (12, 2047), (64, 0)):
+            sel = tm & (twidth == w)
+            if sel.any():
+                raw = _gather_bits(bu, tpos[sel], w)
+                # width-64 payloads are raw two's-complement int64;
+                # narrower ones carry a bias
+                dod[sel] = raw.astype(np.int64) - bias
+    p_arr = first_p + np.cumsum(np.cumsum(dod))
+
+    # values: gather xor payloads per window width, shift elementwise,
+    # one xor prefix scan (zero-xor points contribute the identity)
+    contrib = np.zeros(n, dtype=np.uint64)
+    vm = vpos >= 0
+    if vm.any():
+        for w in np.unique(vwidth[vm]):
+            sel = vm & (vwidth == w)
+            contrib[sel] = _gather_bits(bu, vpos[sel], int(w)) << vshift[
+                sel
+            ].astype(np.uint64)
+    v_arr = first_v ^ np.bitwise_xor.accumulate(contrib)
+
     values = v_arr.view(np.float64)
     values[null_mask] = np.nan
     return p_arr, values

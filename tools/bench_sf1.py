@@ -99,6 +99,96 @@ def synthesize(spark) -> None:
         f.write("ok\n")
 
 
+def pipeline_probe(spark) -> dict:
+    """10x scale ratios for the pipeline surface (VERDICT r4 item 6):
+    pack_chunks, ngram_contamination, and minhash_dedup_incremental
+    have fan-out constants (per-chunk collect_list, gram explosion,
+    band-index probes) that the headline set never exercises. Each
+    workload runs at a base scale and at 10x; the wall ratio at 10x
+    data should be <= ~linear (10) plus noise. Probes ride along so a
+    steal-dirty ratio is visible as such."""
+    from timeperiods_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+    )
+    from timeperiods_spark.operators.packing import pack_chunks
+    from timeperiods_spark.operators.tokenstats import ngram_contamination
+    from timeperiods_spark.sources.tokens import token_table
+
+    n_base = int(os.environ.get("SPARK_GRAFT_SF1_PIPE_DOCS", "30000"))
+
+    def w_pack(n_docs: int):
+        def run():
+            t = token_table(spark, n_docs, with_interval=False,
+                            partitions=bench.CPUS * 4)
+            out = pack_chunks(t, "doc_id", "tokens", "n_tok",
+                              chunk_len=256, group_by=["source"])
+            return out.count()
+        return run
+
+    def w_contam(n_docs: int):
+        def run():
+            t = token_table(spark, n_docs, with_interval=False,
+                            partitions=bench.CPUS * 4)
+            did = F.col("doc_id").cast("long")
+            train = t.filter(did < n_docs // 4)
+            test = t.filter(did >= n_docs // 4)
+            out = ngram_contamination(test, train, "tokens", "doc_id", n=8)
+            return out.count()
+        return run
+
+    def w_minhash_inc(sf_dir: str, split: int):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def run():
+            did = F.col("doc_id").cast("long")
+            idx_b, idx_s = build_minhash_index(
+                docs.filter(did < split), "doc_id", "text",
+                k=5, n_hashes=12, bands=4, hash_fn="xxhash64",
+            )
+            r = minhash_dedup_incremental(
+                docs.filter(did >= split), "doc_id", "text",
+                index_bands=idx_b, index_shingles=idx_s,
+                k=5, n_hashes=12, bands=4, verify_threshold=0.4,
+                hash_fn="xxhash64", broadcast_batch=True,
+            )
+            return r["deduped"].count()
+        return run
+
+    # sf0.1 has 5000 docs (ids 0..4999); sf1 = 10 shifted copies. The
+    # incremental base probes the top 10% against the other 90%; at 10x
+    # the batch is copy 9 probing the index of copies 0-8.
+    workloads = {
+        "pack_chunks": (w_pack(n_base), w_pack(n_base * 10)),
+        "ngram_contamination": (w_contam(n_base), w_contam(n_base * 10)),
+        "minhash_dedup_incremental": (
+            w_minhash_inc(SRC, 4500),
+            w_minhash_inc(SF1_DIR, 45000),
+        ),
+    }
+    out: dict = {"base_docs": n_base}
+    for name, (small, large) in workloads.items():
+        rows_s, wall_s, pr_s = bench._bracketed_call(
+            small, bench.HEAD_CANARY_THREADS
+        )
+        rows_l, wall_l, pr_l = bench._bracketed_call(
+            large, bench.HEAD_CANARY_THREADS
+        )
+        thr = bench._probe_threshold(bench.HEAD_CANARY_THREADS)
+        out[name] = {
+            "small_seconds": wall_s,
+            "large_seconds": wall_l,
+            "ratio_at_10x": round(wall_l / max(wall_s, 1e-9), 2),
+            "rows": [rows_s, rows_l],
+            "clean": bool(max(pr_s + pr_l) <= thr),
+            "probes": [[round(p, 3) for p in pr_s],
+                       [round(p, 3) for p in pr_l]],
+        }
+        print(json.dumps({name: {k: v for k, v in out[name].items()
+                                 if k != "probes"}}), flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "bench-sf1",
@@ -113,6 +203,10 @@ def main() -> None:
     t0 = time.time()
     times, extras = bench.bench_queries(spark)
     total = round(sum(times.values()), 3)
+
+    pipeline = {}
+    if os.environ.get("SPARK_GRAFT_SF1_PIPELINE", "1") != "0":
+        pipeline = pipeline_probe(spark)
 
     # sf0.1 best reference from the committed BENCH_DETAIL.json
     # (headline_extras carries per-rep walls as <q>_all_seconds)
@@ -142,6 +236,7 @@ def main() -> None:
         "queries": {q: round(t, 3) for q, t in times.items()},
         "sf01_reference": ref,
         "ratio_vs_sf01": ratios,
+        "pipeline_10x": pipeline,
         "wall_seconds": round(time.time() - t0, 1),
         "extras": {
             k: v
