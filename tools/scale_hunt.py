@@ -47,6 +47,10 @@ def _quiet_now(width: int, need: int = 2) -> bool:
     return True
 
 
+def probe_stats(width: int, n: int = 3) -> list[float]:
+    return [round(bench._cpu_probe(width), 3) for _ in range(n)]
+
+
 def run_leg(cores: int, n_docs: int, state_path: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="hunt_leg_")
     try:
@@ -84,11 +88,15 @@ def run_leg(cores: int, n_docs: int, state_path: str) -> dict:
     return rec
 
 
-def summarize(state_path: str, pairs: list[tuple[int, int]]) -> dict:
+def summarize(
+    state_path: str, pairs: list[tuple[int, int]], n_docs: int | None = None
+) -> dict:
     recs = []
     if os.path.exists(state_path):
         with open(state_path) as f:
             recs = [json.loads(line) for line in f if line.strip()]
+    if n_docs is not None:
+        recs = [r for r in recs if r["n_docs"] == n_docs]
     out: dict = {"n_legs": len(recs)}
     by_cores: dict[int, list[dict]] = {}
     for r in recs:
@@ -126,40 +134,59 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=5.0)
     ap.add_argument("--state", default="/tmp/scale_hunt.jsonl")
-    ap.add_argument("--n-docs", type=int, default=512_000_000)
+    ap.add_argument("--n-docs", default="512000000",
+                    help="';'-separated doc counts, largest first")
     ap.add_argument("--pairs", default="2,8;4,16")
     ap.add_argument("--probe-every", type=float, default=45.0)
     args = ap.parse_args()
     pairs = [tuple(int(c) for c in p.split(",")) for p in args.pairs.split(";")]
 
+    sizes = [int(s) for s in str(args.n_docs).split(";")]
     deadline = time.time() + args.hours * 3600
     bench._cpu_probe(4)  # warm the probe machinery
+    n_probe = 0
+    miss_streak = 0
     while time.time() < deadline:
         if os.path.exists(BUSY_FLAG):
             time.sleep(args.probe_every)
             continue
-        summ = summarize(args.state, pairs)
-        # neediest leg first: a slow leg with no clean rep beats
-        # everything; then legs with the fewest attempts
-        want: list[int] = []
-        for lo, hi in pairs:
-            p = summ.get(f"pair_{lo}_{hi}", {})
-            if not p.get("slow_leg_clean"):
-                want.append(lo)
-        for lo, hi in pairs:
-            p = summ.get(f"pair_{lo}_{hi}", {})
-            if not p.get("fast_leg_clean"):
-                want.append(hi)
-        for lo, hi in pairs:
-            want += [lo, hi]  # keep refining mins once all clean
-        cores = want[0]
+        # neediest (cores, n_docs) first: a slow leg with no clean rep
+        # beats everything; larger sizes preferred (smaller fixed-cost
+        # share) but a persistent miss streak rotates to smaller sizes
+        # whose shorter legs fit shorter quiet windows
+        want: list[tuple[int, int]] = []
+        for nd in sizes:
+            summ = summarize(args.state, pairs, nd)
+            for lo, hi in pairs:
+                p = summ.get(f"pair_{lo}_{hi}", {})
+                if not p.get("slow_leg_clean"):
+                    want.append((lo, nd))
+            for lo, hi in pairs:
+                p = summ.get(f"pair_{lo}_{hi}", {})
+                if not p.get("fast_leg_clean"):
+                    want.append((hi, nd))
+        for nd in sizes:
+            for lo, hi in pairs:
+                want += [(lo, nd), (hi, nd)]
+        cores, nd = want[min(miss_streak // 4, len(want) - 1)]
         if _quiet_now(min(4, cores)):
-            rec = run_leg(cores, args.n_docs, args.state)
-            print(json.dumps(rec | {"summary": summarize(args.state, pairs)}),
-                  flush=True)
+            rec = run_leg(cores, nd, args.state)
+            miss_streak = 0 if rec["clean"] else miss_streak + 1
+            print(json.dumps(rec | {
+                "summary": summarize(args.state, pairs, nd)
+            }), flush=True)
         else:
+            miss_streak += 1
+            n_probe += 1
+            if n_probe % 10 == 0:
+                print(json.dumps({
+                    "t": round(time.time(), 1),
+                    "probe4": probe_stats(4),
+                }), flush=True)
             time.sleep(args.probe_every)
-    print(json.dumps({"final": summarize(args.state, pairs)}), flush=True)
+    print(json.dumps(
+        {"final": {str(nd): summarize(args.state, pairs, nd)
+                   for nd in sizes}}), flush=True)
 
 
 if __name__ == "__main__":
