@@ -79,6 +79,7 @@ def run_leg(cores: int, n_docs: int, state_path: str) -> dict:
         "n_docs": n_docs,
         "seconds": m["seconds"],
         "docs_per_sec": m["docs_per_sec"],
+        "points_per_sec": m.get("points_per_sec"),
         "steal_s": steal,
         "clean": steal <= max(0.4, 0.03 * m["seconds"]),
         "samples": [round(s, 3) for s in samples],
