@@ -740,8 +740,25 @@ class _PairState:
         return compact, detail
 
 
+#: announces a live bench run to the background hunters
+#: (tools/scale_hunt.py, tools/headline_hunt.py pause while it exists)
+BENCH_FLAG = "/tmp/spark_graft_bench_running"
+#: flags a hunter mid-measurement; bench waits for them at startup
+HUNTER_FLAGS = ("/tmp/spark_graft_busy", "/tmp/spark_graft_leg_running")
+
+
 def main():
     t_bench0 = time.time()
+    # drain any in-flight hunter measurement (a pass/leg takes ~1-2
+    # min) so neither side pollutes the other's canary
+    t_wait0 = time.time()
+    while (
+        any(os.path.exists(p) for p in HUNTER_FLAGS)
+        and time.time() - t_wait0 < 240.0
+    ):
+        time.sleep(5.0)
+    with open(BENCH_FLAG, "w") as f:
+        f.write(str(os.getpid()))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2400"))
     scaling_on = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     lo, hi = (
@@ -866,6 +883,10 @@ def main():
                     }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.remove(BENCH_FLAG)
+        except OSError:
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # ------- evidence split (r3 verdict finding 2): the driver's tail

@@ -117,7 +117,11 @@ def main() -> None:
     n_recorded = 0
     n_probe = 0
     while time.time() < deadline and n_recorded < args.max_passes:
-        if os.path.exists(BUSY_FLAG) or os.path.exists(LEG_FLAG):
+        if (
+            os.path.exists(BUSY_FLAG)
+            or os.path.exists(LEG_FLAG)
+            or os.path.exists(bench.BENCH_FLAG)
+        ):
             time.sleep(args.probe_every)
             continue
         if _quiet_now(bench.HEAD_CANARY_THREADS):

@@ -148,7 +148,7 @@ def main() -> None:
     n_probe = 0
     miss_streak = 0
     while time.time() < deadline:
-        if os.path.exists(BUSY_FLAG):
+        if os.path.exists(BUSY_FLAG) or os.path.exists(bench.BENCH_FLAG):
             time.sleep(args.probe_every)
             continue
         # neediest (cores, n_docs) first: a slow leg with no clean rep
