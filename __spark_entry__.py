@@ -2500,6 +2500,95 @@ WHERE {_HU2} < r.rate
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al. ACL'22 style, windowed-hash
+    formulation): maximal duplicated >=k-token runs per document.
+    Spark side = window explode + map-side-combined count + join-back
+    + the merge_intervals carried sweep; twin = the same pipeline with
+    the running-max island SQL. Exact window-text keys both sides
+    (hash_windows=True is the at-scale variant; same results modulo
+    2^-64 collisions)."""
+    from timeperiods_spark import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, "doc_id", "text", k=12, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+SQL_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(tok, t.i, t.i + 11), chr(31)) AS win
+  FROM toks, unnest(generate_series(1, len(tok) - 11)) AS t(i)
+  WHERE len(tok) >= 12
+),
+dup AS (
+  SELECT win FROM pos GROUP BY win HAVING COUNT(*) >= 2
+),
+dp AS (
+  SELECT p.doc_id, p.pos AS s, p.pos + 11 AS e
+  FROM pos p JOIN dup USING (win)
+),
+ord AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ord
+)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_duplicate_span_stats(spark, sf_dir):
+    """Per-document duplication dashboard over the span output:
+    every doc emits a row, clean docs zero-filled."""
+    from timeperiods_spark import duplicate_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = duplicate_span_stats(docs, "doc_id", "text", k=12)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+SQL_DUPLICATE_SPAN_STATS = f"""
+WITH spans AS ({SQL_DUPLICATE_SPANS}),
+per_doc AS (
+  SELECT doc_id, SUM(n_tokens) AS dup_tokens FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(COALESCE(p.dup_tokens, 0)
+             / GREATEST(len(string_split(d.text, ' ')), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2523,6 +2612,8 @@ _PIPELINE_QUERIES = {
     "ngram_contamination_check": q_contamination,
     "hash_sample_docs": q_hash_sample,
     "source_mix_tokens": q_source_mix,
+    "duplicate_spans_docs": q_duplicate_spans,
+    "duplicate_span_stats_docs": q_duplicate_span_stats,
 }
 
 _PIPELINE_ORACLES = {
@@ -2548,4 +2639,6 @@ _PIPELINE_ORACLES = {
     "hash_sample_docs": SQL_HASH_SAMPLE,
     "source_mix_tokens": SQL_SOURCE_MIX,
     "text_analysis": SQL_TEXTOPS,
+    "duplicate_spans_docs": SQL_DUPLICATE_SPANS,
+    "duplicate_span_stats_docs": SQL_DUPLICATE_SPAN_STATS,
 }

@@ -47,6 +47,7 @@ from .operators.dedup import (
 from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
 from .operators.sampling import hash_sample, source_mix
+from .operators.spandedup import duplicate_span_stats, duplicate_spans
 from .operators.tokenstats import (
     ngram_contamination,
     token_histogram,
@@ -111,6 +112,8 @@ __all__ = [
     "spread_input",
     "timestamp_to_grid",
     "exact_dedup",
+    "duplicate_spans",
+    "duplicate_span_stats",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",
