@@ -155,6 +155,20 @@ def pipeline_probe(spark) -> dict:
             return r["deduped"].count()
         return run
 
+    def w_spans(sf_dir: str):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def run():
+            from timeperiods_spark import duplicate_spans
+
+            # production key shape: 8-byte hashed windows. The sf1
+            # corpus Caesar-rotates each copy, so duplication stays
+            # within-copy and the expected output grows ~linearly.
+            out = duplicate_spans(docs, "doc_id", "text", k=12,
+                                  hash_windows=True)
+            return out.count()
+        return run
+
     # sf0.1 has 5000 docs (ids 0..4999); sf1 = 10 shifted copies. The
     # incremental base probes the top 10% against the other 90%; at 10x
     # the batch is copy 9 probing the index of copies 0-8.
@@ -165,6 +179,7 @@ def pipeline_probe(spark) -> dict:
             w_minhash_inc(SRC, 4500),
             w_minhash_inc(SF1_DIR, 45000),
         ),
+        "duplicate_spans": (w_spans(SRC), w_spans(SF1_DIR)),
     }
     out: dict = {"base_docs": n_base}
     for name, (small, large) in workloads.items():
@@ -201,7 +216,9 @@ def main() -> None:
     synth_s = round(time.time() - t0, 1)
 
     t0 = time.time()
-    times, extras = bench.bench_queries(spark)
+    times, extras = {}, {}
+    if os.environ.get("SPARK_GRAFT_SF1_HEADLINE", "1") != "0":
+        times, extras = bench.bench_queries(spark)
     total = round(sum(times.values()), 3)
 
     pipeline = {}
@@ -244,7 +261,10 @@ def main() -> None:
             if not k.endswith("_bracket_probes")
         },
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL_SF1.json"), "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SF1_OUT", os.path.join(REPO, "BENCH_DETAIL_SF1.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, default=str)
     print(json.dumps({
         "metric": "sf1_headline_seconds",
