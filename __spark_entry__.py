@@ -2589,6 +2589,79 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    SSA1.1), long format per (doc, n): top-n-gram token fraction and
+    duplicated-n-gram coverage fraction. Coverage union rides the
+    merge_intervals carried sweep; the twin re-forms the same islands
+    with running-max SQL."""
+    from timeperiods_spark import ngram_repetition
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_repetition(docs, "doc_id", text_col="text", ns=(2, 3, 5))
+    return out.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round("top_frac", 6).alias("top_frac"),
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+SQL_NGRAM_REPETITION = """
+WITH ns AS (SELECT CAST(unnest([2,3,5]) AS INT) AS n),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents
+),
+pos AS (
+  SELECT t.doc_id, ns.n, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(t.tok, g.i, g.i + ns.n - 1), chr(31))
+           AS gram
+  FROM toks t, ns, unnest(generate_series(1, t.ntok - ns.n + 1)) AS g(i)
+  WHERE t.ntok >= ns.n
+),
+cnt AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM pos GROUP BY doc_id, n, gram
+),
+top AS (SELECT doc_id, n, MAX(c) AS topc FROM cnt GROUP BY doc_id, n),
+dp AS (
+  SELECT p.doc_id, p.n, p.pos AS s, p.pos + p.n - 1 AS e
+  FROM pos p JOIN cnt ON p.doc_id = cnt.doc_id AND p.n = cnt.n
+                      AND p.gram = cnt.gram
+  WHERE cnt.c >= 2
+),
+ord AS (
+  SELECT doc_id, n, s, e,
+         MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, n, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, n ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ord
+),
+mrg AS (
+  SELECT doc_id, n, MIN(s) AS s, MAX(e) AS e
+  FROM isl GROUP BY doc_id, n, island
+),
+cov AS (SELECT doc_id, n, SUM(e - s + 1) AS cov FROM mrg GROUP BY doc_id, n)
+SELECT d.doc_id, ns.n, CAST(d.ntok AS BIGINT) AS n_tok,
+       ROUND(COALESCE(t.topc, 0) * ns.n / GREATEST(d.ntok, 1), 6)
+         AS top_frac,
+       ROUND(COALESCE(c.cov, 0) / GREATEST(d.ntok, 1), 6) AS dup_frac
+FROM toks d CROSS JOIN ns
+LEFT JOIN top t ON d.doc_id = t.doc_id AND ns.n = t.n
+LEFT JOIN cov c ON d.doc_id = c.doc_id AND ns.n = c.n
+"""
+
+
 _PIPELINE_QUERIES = {
     "exact_dedup_docs": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2614,6 +2687,7 @@ _PIPELINE_QUERIES = {
     "source_mix_tokens": q_source_mix,
     "duplicate_spans_docs": q_duplicate_spans,
     "duplicate_span_stats_docs": q_duplicate_span_stats,
+    "ngram_repetition_docs": q_ngram_repetition,
 }
 
 _PIPELINE_ORACLES = {
@@ -2641,4 +2715,5 @@ _PIPELINE_ORACLES = {
     "text_analysis": SQL_TEXTOPS,
     "duplicate_spans_docs": SQL_DUPLICATE_SPANS,
     "duplicate_span_stats_docs": SQL_DUPLICATE_SPAN_STATS,
+    "ngram_repetition_docs": SQL_NGRAM_REPETITION,
 }

@@ -50,6 +50,7 @@ from .operators.sampling import hash_sample, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
 from .operators.tokenstats import (
     ngram_contamination,
+    ngram_repetition,
     token_histogram,
     token_ngram_counts,
     topk_per_group,
@@ -133,6 +134,7 @@ __all__ = [
     "token_ngram_counts",
     "topk_per_group",
     "ngram_contamination",
+    "ngram_repetition",
     "hash_sample",
     "source_mix",
     "embedding_neardup_pairs",

@@ -163,3 +163,133 @@ def topk_per_group(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    text_col: Optional[str] = None,
+    ns: Sequence[int] = (2, 3, 5, 10),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, long format:
+    ``id_col, n, n_tok, top_frac, dup_frac`` — one row per (document,
+    n) for every requested n-gram order.
+
+    - ``top_frac``: token fraction claimed by ALL occurrences of the
+      document's most frequent n-gram (``top_count * n / n_tok`` — the
+      published filter formula; overlapping occurrences can push it
+      past 1.0, which is itself a strong repetition signal).
+    - ``dup_frac``: fraction of tokens COVERED by n-grams occurring
+      more than once within the document — coverage is the union of
+      the duplicated windows (per-(doc, n) interval merge via
+      ``merge_intervals``), so heavily overlapping repeats are not
+      double-counted.
+
+    These are the repetition-quality filters of Rae et al. (Gopher,
+    2021) §A1.1 — e.g. drop docs with ``dup_frac(n=3) > 0.18`` or
+    ``top_frac(n=2) > 0.20`` — computed over tokens instead of
+    characters (fractions, so the scale-free thresholds transfer).
+    Documents shorter than ``n`` tokens emit the (doc, n) row with
+    both fractions 0 (dashboard completeness).
+
+    Scale shape: one map-side explode of (doc, n, pos, gram) — fan-out
+    ``len(ns)`` × tokens — then a map-side-combined count keyed by
+    (doc, n, gram); the per-document keys make the aggregate
+    skew-free by construction (no corpus-wide hot grams, unlike
+    corpus-level dedup). The duplicated-position join-back reuses the
+    exploded frame (managed-persisted once); coverage assembly rides
+    the carried interval-union sweep. Everything is JVM expressions —
+    no Python in the row path."""
+    from ..plans.cachectl import managed_persist
+    from .interval_union import merge_intervals
+
+    ns = [int(n) for n in ns]
+    if not ns or any(n < 1 for n in ns) or len(set(ns)) != len(ns):
+        raise ValueError("ns must be distinct integers >= 1")
+    toks = (
+        F.split(F.col(text_col), " ") if text_col is not None
+        else F.col(tokens_col)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__tok")
+    ).withColumn("__ntok", F.size("__tok"))
+
+    with_n = base.select(
+        "__id",
+        "__tok",
+        "__ntok",
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("__n"),
+    )
+    pos = (
+        with_n.where(F.col("__ntok") >= F.col("__n"))
+        .select(
+            "__id",
+            "__n",
+            "__tok",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__ntok") - F.col("__n"))
+            ).alias("__pos"),
+        )
+        .select(
+            "__id",
+            "__n",
+            "__pos",
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.slice(F.col("__tok"), F.col("__pos") + 1, F.col("__n")),
+                    lambda t: t.cast("string"),
+                ),
+            ).alias("__gram"),
+        )
+    )
+    pos = managed_persist(pos, "ngram_repetition.pos")
+
+    cnt = pos.groupBy("__id", "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    top = cnt.groupBy("__id", "__n").agg(F.max("__c").alias("__topc"))
+    dup_pos = (
+        pos.join(
+            cnt.where(F.col("__c") >= 2).select("__id", "__n", "__gram"),
+            ["__id", "__n", "__gram"],
+        )
+        .select(
+            "__id",
+            "__n",
+            F.col("__pos").alias("__s"),
+            (F.col("__pos") + F.col("__n") - 1).alias("__e"),
+        )
+    )
+    cov = (
+        merge_intervals(dup_pos, ("__s", "__e"), ["__id", "__n"])
+        .groupBy("__id", "__n")
+        .agg(F.sum(F.col("__e") - F.col("__s") + 1).alias("__cov"))
+    )
+
+    dims = base.select("__id", "__ntok").crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(n,) for n in ns], "__n int"
+            )
+        )
+    )
+    return (
+        dims.join(top, ["__id", "__n"], "left")
+        .join(cov, ["__id", "__n"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").alias("n"),
+            F.col("__ntok").alias("n_tok"),
+            (
+                F.coalesce(F.col("__topc"), F.lit(0)) * F.col("__n")
+                / F.greatest(F.col("__ntok"), F.lit(1))
+            ).alias("top_frac"),
+            (
+                F.coalesce(F.col("__cov"), F.lit(0))
+                / F.greatest(F.col("__ntok"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
