@@ -2500,6 +2500,34 @@ WHERE {_HU2} < r.rate
 """
 
 
+def q_quality_sample(spark, sf_dir):
+    """Per-row-rate deterministic sampling (curriculum / quality
+    weighting): each document keeps with probability LEAST(1,
+    n_chars/500) — longer docs survive more often — decided by the
+    same portable row-pure hash as the fraction path."""
+    from timeperiods_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "__rate", F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    )
+    return (
+        hash_sample(docs, "doc_id", rate_col="__rate", seed=1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+SQL_QUALITY_SAMPLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {_HU1} < LEAST(1.0, n_chars / 500.0)
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al. ACL'22 style, windowed-hash
     formulation): maximal duplicated >=k-token runs per document.
@@ -2688,6 +2716,7 @@ _PIPELINE_QUERIES = {
     "duplicate_spans_docs": q_duplicate_spans,
     "duplicate_span_stats_docs": q_duplicate_span_stats,
     "ngram_repetition_docs": q_ngram_repetition,
+    "quality_weighted_sample": q_quality_sample,
 }
 
 _PIPELINE_ORACLES = {
@@ -2716,4 +2745,5 @@ _PIPELINE_ORACLES = {
     "duplicate_spans_docs": SQL_DUPLICATE_SPANS,
     "duplicate_span_stats_docs": SQL_DUPLICATE_SPAN_STATS,
     "ngram_repetition_docs": SQL_NGRAM_REPETITION,
+    "quality_weighted_sample": SQL_QUALITY_SAMPLE,
 }

@@ -127,3 +127,60 @@ def test_source_mix_null_source_gets_budget(spark):
     assert null_kept == pytest.approx(25_000, rel=0.2)
     a_kept = out.filter(F.col("source") == "a").agg(F.sum("n_tok")).first()[0]
     assert a_kept == pytest.approx(25_000, rel=0.2)
+
+
+def test_hash_sample_rate_col(spark):
+    rows = [
+        (i, 1.0 if i < 100 else (0.0 if i < 200 else None))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, rate double")
+    kept = hash_sample(df, "doc_id", rate_col="rate").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == set(range(100))  # rate 1 keeps, rate 0 and NULL drop
+
+    # a constant rate column selects exactly the fraction-mode rows
+    df2 = spark.createDataFrame(
+        [(i, 0.3) for i in range(2000)], "doc_id long, rate double"
+    )
+    a = {r["doc_id"] for r in hash_sample(df2, "doc_id", rate_col="rate",
+                                          seed=3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df2, "doc_id", 0.3,
+                                          seed=3).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id")
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", 0.5, rate_col="rate")
+
+
+def test_source_mix_temperature(spark):
+    rows = [(i, 10, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, source string")
+    _, nat = source_mix(df, "doc_id", "n_tok", target_total=10_000)
+    _, smooth = source_mix(
+        df, "doc_id", "n_tok", target_total=10_000, temperature=0.5
+    )
+    # alpha=1 is a no-op relative to natural shares
+    _, one = source_mix(
+        df, "doc_id", "n_tok", target_total=10_000, temperature=1.0
+    )
+    assert one == pytest.approx(nat)
+    # smoothing boosts the small source's rate, shrinks the big one's
+    assert smooth["small"] > nat["small"]
+    assert smooth["big"] < nat["big"]
+    # smoothed shares: 0.9^0.5 / 0.1^0.5 normalize to 0.75 / 0.25, so
+    # the small source's 2500-token allocation exceeds its 2000-token
+    # corpus and clamps to rate 1.0 (take everything, shortfall
+    # visible); the big source still gets its full 7500 allocation
+    tot = {"big": 18_000, "small": 2_000}
+    assert smooth["small"] == 1.0
+    spent = sum(smooth[s] * tot[s] for s in tot)
+    assert spent == pytest.approx(0.75 * 10_000 + 2_000, rel=1e-6)
+
+    with pytest.raises(ValueError):
+        source_mix(df, "doc_id", "n_tok", target_total=1,
+                   mix_weights={"big": 1.0}, temperature=0.5)
+    with pytest.raises(ValueError):
+        source_mix(df, "doc_id", "n_tok", target_total=1, temperature=0.0)

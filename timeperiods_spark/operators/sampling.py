@@ -76,8 +76,9 @@ def hash_unit_sql(key_expr: str, seed: int) -> str:
 def hash_sample(
     df: DataFrame,
     key_col: str,
-    fraction: float,
+    fraction: Optional[float] = None,
     *,
+    rate_col: Optional[str] = None,
     seed: int = 0,
 ) -> DataFrame:
     """Keep rows whose hashed key falls below ``fraction`` — an exact,
@@ -85,10 +86,25 @@ def hash_sample(
     is a pure column expression: it pushes into the scan, never
     shuffles, and selects the same rows at any partitioning. Disjoint
     seeds give independent samples, so ``hash_sample(df, k, 0.9,
-    seed=1)`` and its complement form a stable train/holdout split."""
-    if not (0.0 <= fraction <= 1.0):
-        raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(float(fraction)))
+    seed=1)`` and its complement form a stable train/holdout split.
+
+    ``rate_col`` (mutually exclusive with ``fraction``) samples each
+    row at its OWN rate — the quality-weighted / curriculum selection
+    step: map a quality score to a keep-probability column, and each
+    row keeps with that probability, deterministically in the row key.
+    Values are effectively clamped to [0, 1] by the comparison
+    (``rate >= 1`` always keeps, ``<= 0`` never); a NULL rate drops
+    the row. Still a pure row predicate — no shuffle, no RNG state."""
+    if (fraction is None) == (rate_col is None):
+        raise ValueError("provide exactly one of fraction / rate_col")
+    u = _hash_unit(F.col(key_col), seed)
+    if fraction is not None:
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError("fraction must be in [0, 1]")
+        return df.filter(u < F.lit(float(fraction)))
+    return df.filter(
+        u < F.coalesce(F.col(rate_col).cast("double"), F.lit(0.0))
+    )
 
 
 def source_mix(
@@ -99,6 +115,7 @@ def source_mix(
     *,
     target_total: int,
     mix_weights: Optional[Mapping[str, float]] = None,
+    temperature: Optional[float] = None,
     seed: int = 0,
 ) -> tuple[DataFrame, Dict[str, float]]:
     """Sample each source at the rate that hits ``target_total`` units
@@ -111,6 +128,12 @@ def source_mix(
     global downsample to the budget). A source whose requested share
     exceeds its corpus is clamped to rate 1.0 (take everything) — the
     returned rate map makes the shortfall visible.
+
+    ``temperature`` (alpha in (0, 1], mutually exclusive with
+    ``mix_weights``) smooths the natural shares toward uniform:
+    ``share_s ∝ (corpus_s / corpus_total) ** alpha`` — the standard
+    multilingual-mixing upsampling of low-resource sources (Conneau &
+    Lample 2019; alpha=1 is proportional, alpha→0 is uniform).
 
     Returns ``(sampled_df, rates)``. Scale shape: ONE aggregate for
     per-source totals (sources are few — the map is driver-side by
@@ -128,8 +151,16 @@ def source_mix(
     grand = sum(totals.values())
     if grand == 0:
         return df.filter(F.lit(False)), {s: 0.0 for s in totals}
+    if temperature is not None and mix_weights is not None:
+        raise ValueError("temperature and mix_weights are mutually exclusive")
+    if temperature is not None and not (0.0 < temperature <= 1.0):
+        raise ValueError("temperature must be in (0, 1]")
     if mix_weights is None:
         shares = {s: t / grand for s, t in totals.items()}
+        if temperature is not None:
+            smoothed = {s: p ** temperature for s, p in shares.items()}
+            zsum = sum(smoothed.values())
+            shares = {s: p / zsum for s, p in smoothed.items()}
     else:
         wsum = sum(mix_weights.values())
         if wsum <= 0:
