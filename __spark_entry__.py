@@ -2127,6 +2127,61 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + scrub over the documents table. The synthetic
+    corpus carries no organic emails/IPs, so the query PLANTS
+    deterministic PII spans first (email on doc_id%7, IPv4 on %11,
+    phone on %13) — the DuckDB twin plants byte-identical spans —
+    then counts each pattern on the original text and emits the
+    scrubbed text. Pure map-side projection: zero shuffle; the three
+    regexes are RE2-safe so the twin runs them verbatim."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    txt = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.format_string(" mail user%d@example.com", did))
+         .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.format_string(" from 10.0.%d.9", did % 200))
+         .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.format_string(" call +1 (555) 010-%04d", did % 10000))
+         .otherwise(F.lit("")),
+    )
+    base = docs.select(did.alias("doc_id"), txt.alias("text"))
+    out = _TX.scrub_pii(base, "text", out_col="scrubbed")
+    return out.select(
+        "doc_id",
+        F.col("email_count").cast("long").alias("email_count"),
+        F.col("ipv4_count").cast("long").alias("ipv4_count"),
+        F.col("phone_count").cast("long").alias("phone_count"),
+        "scrubbed",
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN printf(' mail user%d@example.com', doc_id) ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN printf(' from 10.0.%d.9', doc_id % 200) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN printf(' call +1 (555) 010-%04d', doc_id % 10000) ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_TX.pii_count_sql('text', _TX.PII_PATTERNS[0][1])} AS BIGINT) AS email_count,
+       CAST({_TX.pii_count_sql('text', _TX.PII_PATTERNS[1][1])} AS BIGINT) AS ipv4_count,
+       CAST({_TX.pii_count_sql('text', _TX.PII_PATTERNS[2][1])} AS BIGINT) AS phone_count,
+       {_TX.scrub_text_sql('text')} AS scrubbed
+FROM base
+"""
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup against a persisted band index (VERDICT r2
     item 5): docs below the split bootstrap the index (ALL signatures,
@@ -2717,6 +2772,7 @@ _PIPELINE_QUERIES = {
     "duplicate_span_stats_docs": q_duplicate_span_stats,
     "ngram_repetition_docs": q_ngram_repetition,
     "quality_weighted_sample": q_quality_sample,
+    "pii_scrub_docs": q_pii_scrub,
 }
 
 _PIPELINE_ORACLES = {
@@ -2746,4 +2802,5 @@ _PIPELINE_ORACLES = {
     "duplicate_span_stats_docs": SQL_DUPLICATE_SPAN_STATS,
     "ngram_repetition_docs": SQL_NGRAM_REPETITION,
     "quality_weighted_sample": SQL_QUALITY_SAMPLE,
+    "pii_scrub_docs": SQL_PII_SCRUB,
 }

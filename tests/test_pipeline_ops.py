@@ -287,6 +287,38 @@ def test_textops_basics(spark):
     assert fps[0] == out[0]["fp"] and fps[1] != out[0]["fp"]
 
 
+def test_pii_scrub_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at jo.doe+x@mail.example.org or 10.1.2.3 now"),
+            (1, "call +1 (555) 010-7788 after five"),
+            (2, "plain text, nothing sensitive"),
+            (3, "two mails: a@b.io and c-d_e@f.co, one ip 192.168.0.1"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in TX.scrub_pii(df, "text").collect()}
+    assert (out[0]["email_count"], out[0]["ipv4_count"]) == (1, 1)
+    assert out[1]["phone_count"] == 1
+    assert (out[2]["email_count"], out[2]["ipv4_count"], out[2]["phone_count"]) == (0, 0, 0)
+    assert out[3]["email_count"] == 2 and out[3]["ipv4_count"] == 1
+    s0, s1, s3 = out[0]["text_scrubbed"], out[1]["text_scrubbed"], out[3]["text_scrubbed"]
+    # every match replaced by its typed placeholder, nothing leaks
+    assert "<EMAIL>" in s0 and "<IP>" in s0 and "@" not in s0 and "10.1.2.3" not in s0
+    assert "<PHONE>" in s1 and "555" not in s1
+    assert s3.count("<EMAIL>") == 2 and "<IP>" in s3
+    # scrub order is load-bearing: the email's digit-bearing local part
+    # must survive as <EMAIL>, not get chewed by the phone pass; and an
+    # IP must become <IP>, not <PHONE> (phone's charset matches IPs too)
+    df2 = spark.createDataFrame(
+        [(0, "mail 12345678@digits.example and ip 10.0.0.1")], "id int, text string"
+    )
+    s = TX.scrub_pii(df2, "text").collect()[0]["text_scrubbed"]
+    assert s == "mail <EMAIL> and ip <IP>"
+    # untouched rows pass through byte-identical
+    assert out[2]["text_scrubbed"] == "plain text, nothing sensitive"
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 20, kind="video")
     feats = extract_features(media, dim=16).collect()

@@ -48,6 +48,7 @@ from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
 from .operators.sampling import hash_sample, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
+from .operators.textops import scrub_pii
 from .operators.tokenstats import (
     ngram_contamination,
     ngram_repetition,
@@ -115,6 +116,7 @@ __all__ = [
     "exact_dedup",
     "duplicate_spans",
     "duplicate_span_stats",
+    "scrub_pii",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",

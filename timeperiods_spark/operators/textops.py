@@ -172,3 +172,63 @@ def fingerprint_sql(expr: str) -> str:
         f"i -> ord(substring({norm}, CAST(i AS INT), 1))::BIGINT)), "
         f"(acc, c) -> (acc * 1000003 + c) % {FP_MOD}) END)"
     )
+
+
+# --- PII detection / scrubbing -------------------------------------
+#: detection patterns in SCRUB ORDER — email first (its local part can
+#: contain digits a later pass would mangle), then IPv4, then phone
+#: (whose charset includes '.' and would otherwise swallow IPs). All
+#: three are valid in both Java regex (Spark) and RE2 (DuckDB): no
+#: backreferences, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Occurrences of one PII pattern (whole-match extraction — Spark's
+    regexp_extract_all defaults to GROUP 1, so the explicit 0 matters
+    whenever the pattern contains groups)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_count_sql(expr: str, pattern: str) -> str:
+    pat = pattern.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def scrub_text(col: Column, patterns=PII_PATTERNS) -> Column:
+    """Replace every PII match with its typed placeholder, applying
+    the patterns in order (earlier scrubs change what later patterns
+    can see — the order above is load-bearing)."""
+    out = col
+    for _, pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_text_sql(expr: str, patterns=PII_PATTERNS) -> str:
+    """DuckDB twin — the 'g' flag is required (DuckDB replaces only
+    the FIRST match by default; Spark replaces all)."""
+    out = expr
+    for _, pat, repl in patterns:
+        pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def scrub_pii(df, text_col: str = "text", *, out_col=None, patterns=PII_PATTERNS):
+    """DataFrame form: adds ``<label>_count`` per pattern plus the
+    scrubbed text column (default ``<text_col>_scrubbed``). Pure
+    map-side projection — no shuffle, pushdown-friendly; counts are
+    computed on the ORIGINAL text (before any placeholder rewrites)."""
+    out_col = out_col or f"{text_col}_scrubbed"
+    cols = [
+        pii_count(F.col(text_col), pat).alias(f"{label}_count")
+        for label, pat, _ in patterns
+    ]
+    return df.select(
+        "*", *cols, scrub_text(F.col(text_col), patterns).alias(out_col)
+    )
