@@ -2127,6 +2127,89 @@ SELECT doc_id,
 FROM documents
 """
 
+def _daily_means(spark, sf_dir):
+    """Shared scaffold for the recurrence queries: one row per
+    (event_type, day) with the 6dp-rounded daily mean — rounded BEFORE
+    the recurrence so both engines feed bit-identical inputs."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.avg("value"), _R).alias("v"))
+    )
+
+
+_SQL_DAILY_MEANS = """
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(AVG(value), 6) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+def q_ewma_daily(spark, sf_dir):
+    """EWMA (pandas adjust=False recurrence, init=first) over daily
+    event means. Spark computes the two-level scan (per-bucket Arrow
+    `ewm` + exact HOF composition across buckets); the oracle computes
+    the same statistic via the O(n^2) closed-form weighted sum — tiny
+    at oracle scale, and the float gap between the two assemblies is
+    O(eps/alpha), far below the shared 6dp output grid."""
+    from timeperiods_spark import ewma
+
+    return ewma(
+        _daily_means(spark, sf_dir), "day", "v", ["event_type"], alpha=0.3
+    )
+
+
+SQL_EWMA_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+idx AS (
+  SELECT event_type, day, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+  FROM daily
+)
+SELECT a.event_type, a.day, a.v,
+       ROUND(SUM(CASE WHEN b.i = 0 THEN POWER(0.7, a.i - b.i) * b.v
+                 ELSE 0.3 * POWER(0.7, a.i - b.i) * b.v END), 6) AS ewma
+FROM idx a JOIN idx b
+  ON a.event_type IS NOT DISTINCT FROM b.event_type AND b.i <= a.i
+GROUP BY a.event_type, a.day, a.v
+"""
+
+
+def q_cusum_daily(spark, sf_dir):
+    """Two-sided tabular CUSUM over daily event means (target 50,
+    slack 1, alarm threshold 25) — exact closed prefix form
+    (P_i - min(0, running min P)) via two chained bucketed-carry
+    scans; the oracle is the identical arithmetic as window sums."""
+    from timeperiods_spark import cusum
+
+    return cusum(
+        _daily_means(spark, sf_dir), "day", "v", ["event_type"],
+        target=50.0, slack=1.0, threshold=25.0,
+    )
+
+
+SQL_CUSUM_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+p AS (
+  SELECT event_type, day, v,
+         SUM(v - 50.0 - 1.0) OVER w AS P,
+         SUM(-(v - 50.0) - 1.0) OVER w AS Pn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, v,
+       ROUND(P - LEAST(0, MIN(P) OVER w2), 6) AS cusum_pos,
+       ROUND(Pn - LEAST(0, MIN(Pn) OVER w2), 6) AS cusum_neg,
+       (ROUND(P - LEAST(0, MIN(P) OVER w2), 6) > 25.0
+        OR ROUND(Pn - LEAST(0, MIN(Pn) OVER w2), 6) > 25.0) AS alarm
+FROM p
+WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -2773,6 +2856,8 @@ _PIPELINE_QUERIES = {
     "ngram_repetition_docs": q_ngram_repetition,
     "quality_weighted_sample": q_quality_sample,
     "pii_scrub_docs": q_pii_scrub,
+    "ewma_daily_events": q_ewma_daily,
+    "cusum_daily_events": q_cusum_daily,
 }
 
 _PIPELINE_ORACLES = {
@@ -2803,4 +2888,6 @@ _PIPELINE_ORACLES = {
     "ngram_repetition_docs": SQL_NGRAM_REPETITION,
     "quality_weighted_sample": SQL_QUALITY_SAMPLE,
     "pii_scrub_docs": SQL_PII_SCRUB,
+    "ewma_daily_events": SQL_EWMA_DAILY,
+    "cusum_daily_events": SQL_CUSUM_DAILY,
 }

@@ -1,0 +1,162 @@
+"""EWMA / CUSUM recurrence scans vs slow sequential references."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from timeperiods_spark import cusum, ewma
+from timeperiods_spark.errors import RoleValidationError
+
+
+def _series(seed, n, groups=("a", "b", None)):
+    rng = random.Random(seed)
+    rows = []
+    for g in groups:
+        ts = rng.sample(range(n * 3), n)  # irregular spacing
+        for t in ts:
+            rows.append((g, t, round(rng.uniform(-50, 150), 3)))
+    return rows
+
+
+def _slow_ewma(rows, alpha, init="first"):
+    """Sequential per-group recurrence, the definition itself."""
+    out = {}
+    by_g = {}
+    for g, t, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append((t, v))
+    for g, tv in by_g.items():
+        e = None
+        for t, v in sorted(tv):
+            if e is None:
+                e = v if init == "first" else (1 - alpha) * 0.0 + alpha * v
+            else:
+                e = (1 - alpha) * e + alpha * v
+            out[(g, t)] = e
+    return out
+
+
+def _slow_cusum(rows, target, slack):
+    out = {}
+    by_g = {}
+    for g, t, v in rows:
+        by_g.setdefault(g, []).append((t, v))
+    for g, tv in by_g.items():
+        sp = sn = 0.0
+        for t, v in sorted(tv, key=lambda p: p[0]):
+            if v is None:
+                out[(g, t)] = (None, None)
+                continue
+            sp = max(0.0, sp + (v - target - slack))
+            sn = max(0.0, sn - (v - target) - slack)
+            out[(g, t)] = (sp, sn)
+    return out
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    rows = _series(7, 120)
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    for init in ("first", "zero"):
+        exp = _slow_ewma(rows, alpha=0.3, init=init)
+        got = ewma(df, "t", "v", ["g"], alpha=0.3, init=init).collect()
+        assert len(got) == len(exp)
+        for r in got:
+            assert r["ewma"] == pytest.approx(exp[(r["g"], r["t"])], abs=2e-6), (
+                init, r["g"], r["t"])
+
+
+def test_ewma_bucketed_equals_whole_group(spark):
+    rows = _series(11, 200, groups=("x",))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    a = ewma(df, "t", "v", ["g"], span=9).collect()
+    # force the unbucketed path: claim a huge group count
+    b = ewma(df, "t", "v", ["g"], span=9,
+             carry_hints={"groups": 10_000_000}).collect()
+    am = {(r["g"], r["t"]): r["ewma"] for r in a}
+    bm = {(r["g"], r["t"]): r["ewma"] for r in b}
+    assert am.keys() == bm.keys()
+    for k in am:
+        assert am[k] == pytest.approx(bm[k], abs=2e-6)
+
+
+def test_ewma_skips_nulls_and_validates(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 20.0)],
+        "g string, t int, v double",
+    )
+    got = {r["t"]: r["ewma"] for r in ewma(df, "t", "v", ["g"], alpha=0.5).collect()}
+    # NULL row excluded; recurrence skips it: e(3) = 0.5*10 + 0.5*20
+    assert sorted(got) == [1, 3]
+    assert got[3] == pytest.approx(15.0)
+    with pytest.raises(RoleValidationError):
+        ewma(df, "t", "v", ["g"])  # neither alpha nor span
+    with pytest.raises(RoleValidationError):
+        ewma(df, "t", "v", ["g"], alpha=0.5, span=9)
+    with pytest.raises(RoleValidationError):
+        ewma(df, "t", "v", ["g"], alpha=1.5)
+    with pytest.raises(Exception, match="duplicate"):
+        dup = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 1, 2.0)], "g string, t int, v double"
+        )
+        ewma(dup, "t", "v", ["g"], alpha=0.5).collect()
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    rows = _series(3, 40, groups=("m",))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    for r in ewma(df, "t", "v", ["g"], alpha=1.0).collect():
+        assert r["ewma"] == pytest.approx(round(r["v"], 6))
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    rows = _series(13, 150)
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    exp = _slow_cusum(rows, target=50.0, slack=2.0)
+    got = cusum(df, "t", "v", ["g"], target=50.0, slack=2.0).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        ep, en = exp[(r["g"], r["t"])]
+        assert r["cusum_pos"] == pytest.approx(ep, abs=2e-6), (r["g"], r["t"])
+        assert r["cusum_neg"] == pytest.approx(en, abs=2e-6), (r["g"], r["t"])
+
+
+def test_cusum_nulls_threshold_and_dates(spark):
+    d0 = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", d0, 5.0), ("a", d0 + datetime.timedelta(days=1), None),
+         ("a", d0 + datetime.timedelta(days=2), 7.0)],
+        "g string, t date, v double",
+    )
+    got = {r["t"].day: r for r in
+           cusum(df, "t", "v", ["g"], target=1.0, threshold=9.0).collect()}
+    assert got[2]["cusum_pos"] is None and got[2]["alarm"] is False
+    assert got[1]["cusum_pos"] == pytest.approx(4.0)
+    # s(3) = max(0, 4 + (7-1)) = 10 > 9 -> alarm
+    assert got[3]["cusum_pos"] == pytest.approx(10.0)
+    assert got[3]["alarm"] is True and got[1]["alarm"] is False
+    assert got[3]["t"] == d0 + datetime.timedelta(days=2)  # dtype round-trip
+
+
+def test_cusum_duplicate_t_raises(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0)], "g string, t int, v double"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        cusum(df, "t", "v", ["g"]).collect()
+
+
+def test_cusum_one_sided_and_null_group(spark):
+    rows = _series(5, 80, groups=(None, "z"))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    exp = _slow_cusum(rows, target=40.0, slack=0.0)
+    out = cusum(df, "t", "v", ["g"], target=40.0, two_sided=False).collect()
+    assert "cusum_neg" not in out[0].asDict()
+    for r in out:
+        assert r["cusum_pos"] == pytest.approx(exp[(r["g"], r["t"])][0], abs=2e-6)

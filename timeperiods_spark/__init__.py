@@ -49,6 +49,7 @@ from .operators.packing import pack_chunks, pack_sequences
 from .operators.sampling import hash_sample, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
 from .operators.textops import scrub_pii
+from .operators.trend import cusum, ewma
 from .operators.tokenstats import (
     ngram_contamination,
     ngram_repetition,
@@ -117,6 +118,8 @@ __all__ = [
     "duplicate_spans",
     "duplicate_span_stats",
     "scrub_pii",
+    "cusum",
+    "ewma",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",
