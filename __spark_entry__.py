@@ -2127,6 +2127,104 @@ SELECT doc_id,
 FROM documents
 """
 
+def _docs_with_lines(spark, sf_dir):
+    """Line-broken documents scaffold: the synthetic corpus is
+    single-line, so both engines deterministically break lines before
+    the word 'table' and append a shared boilerplate footer — giving
+    every doc multiple lines and the corpus guaranteed cross-doc
+    duplicate lines."""
+    docs = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.regexp_replace(F.col("text"), F.lit(" table"), F.lit("\ntable")),
+        F.lit("\nthe common footer boilerplate"),
+    )
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), t.alias("text"))
+
+
+_SQL_DOCS_WITH_LINES = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace(text, ' table', chr(10) || 'table')
+         || chr(10) || 'the common footer boilerplate' AS text
+  FROM documents
+"""
+
+
+def q_filter_lines(spark, sf_dir):
+    """C4-style rule filtering over line-broken docs: keep lines with
+    >= 3 words that don't mention 'footer'. Pure map-side projection
+    (split -> HOF filter -> reassemble), zero shuffle."""
+    from timeperiods_spark import filter_lines
+
+    return filter_lines(
+        _docs_with_lines(spark, sf_dir), "text",
+        min_words=3, deny_substrings=["footer"],
+    ).select("doc_id", "text_filtered", "lines_kept", "lines_dropped")
+
+
+_DUCK_KEEP = (
+    "list_filter(ls, x -> len(string_split_regex(trim(x), '\\s+')) >= 3 "
+    "AND length(trim(x)) > 0 AND NOT contains(lower(x), 'footer'))"
+)
+
+SQL_FILTER_LINES = f"""
+WITH base AS ({_SQL_DOCS_WITH_LINES}),
+parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)
+SELECT doc_id,
+       array_to_string({_DUCK_KEEP}, chr(10)) AS text_filtered,
+       CAST(len({_DUCK_KEEP}) AS BIGINT) AS lines_kept,
+       CAST(len(ls) - len({_DUCK_KEEP}) AS BIGINT) AS lines_dropped
+FROM parts
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Exact cross-corpus line dedup (keep-first) over line-broken
+    docs: every repeated line survives only at its smallest
+    (doc_id, line index). Two exchanges: the election hash-agg keyed
+    by line and the join-back; reassembly is bounded per doc."""
+    from timeperiods_spark import dedup_lines
+
+    return dedup_lines(_docs_with_lines(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_LINES = f"""
+WITH base AS ({_SQL_DOCS_WITH_LINES}),
+lines AS (
+  SELECT doc_id, ln, idx - 1 AS idx, trim(ln) AS key,
+         length(trim(ln)) >= 1 AS cand
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS ln,
+           generate_subscripts(string_split(text, chr(10)), 1) AS idx
+    FROM base
+  )
+),
+first AS (
+  SELECT key, doc_id AS fid, idx AS fidx,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, idx) AS rn
+  FROM lines WHERE cand
+),
+keep AS (
+  SELECT l.doc_id, l.idx, l.ln
+  FROM lines l
+  LEFT JOIN (SELECT key, fid, fidx FROM first WHERE rn = 1) f
+    ON l.key = f.key
+  WHERE NOT l.cand OR (l.doc_id = f.fid AND l.idx = f.fidx)
+),
+agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS txt,
+         COUNT(*) AS n
+  FROM keep GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(a.txt, '') AS text_deduped,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS lines_kept,
+       CAST(t.total - COALESCE(a.n, 0) AS BIGINT) AS lines_dropped
+FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def _daily_means(spark, sf_dir):
     """Shared scaffold for the recurrence queries: one row per
     (event_type, day) with the 6dp-rounded daily mean — rounded BEFORE
@@ -2858,6 +2956,8 @@ _PIPELINE_QUERIES = {
     "pii_scrub_docs": q_pii_scrub,
     "ewma_daily_events": q_ewma_daily,
     "cusum_daily_events": q_cusum_daily,
+    "filter_lines_docs": q_filter_lines,
+    "dedup_lines_docs": q_dedup_lines,
 }
 
 _PIPELINE_ORACLES = {
@@ -2890,4 +2990,6 @@ _PIPELINE_ORACLES = {
     "pii_scrub_docs": SQL_PII_SCRUB,
     "ewma_daily_events": SQL_EWMA_DAILY,
     "cusum_daily_events": SQL_CUSUM_DAILY,
+    "filter_lines_docs": SQL_FILTER_LINES,
+    "dedup_lines_docs": SQL_DEDUP_LINES,
 }

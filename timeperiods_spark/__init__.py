@@ -48,6 +48,7 @@ from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
 from .operators.sampling import hash_sample, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
+from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
 from .operators.trend import cusum, ewma
 from .operators.tokenstats import (
@@ -118,6 +119,8 @@ __all__ = [
     "duplicate_spans",
     "duplicate_span_stats",
     "scrub_pii",
+    "dedup_lines",
+    "filter_lines",
     "cusum",
     "ewma",
     "ngram_jaccard_pairs",
