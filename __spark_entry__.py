@@ -2693,6 +2693,35 @@ WHERE {_HU1} < 0.3
 """
 
 
+def q_hash_sample_n(spark, sf_dir):
+    """Exact-count stratified sample: the 10 smallest-hash docs per
+    source (two-phase rank in Spark; the oracle is the plain
+    ROW_NUMBER formulation over the identical portable hash)."""
+    from timeperiods_spark import hash_sample_n
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample_n(docs, "doc_id", 10, ["source"], seed=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def _hu_sql(seed):
+    from timeperiods_spark.operators.sampling import hash_unit_sql
+
+    return hash_unit_sql("doc_id", seed)
+
+
+SQL_HASH_SAMPLE_N = f"""
+WITH u AS (SELECT doc_id, source, {_hu_sql(3)} AS uu FROM documents),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY uu, doc_id) AS rn
+  FROM u
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rn <= 10
+"""
+
+
 def q_source_mix(spark, sf_dir):
     """Token-budget data mixing: per-source rates = min(1,
     share*target/total) from one totals aggregate, then the row-pure
@@ -2958,6 +2987,7 @@ _PIPELINE_QUERIES = {
     "cusum_daily_events": q_cusum_daily,
     "filter_lines_docs": q_filter_lines,
     "dedup_lines_docs": q_dedup_lines,
+    "hash_sample_n_per_source": q_hash_sample_n,
 }
 
 _PIPELINE_ORACLES = {
@@ -2992,4 +3022,5 @@ _PIPELINE_ORACLES = {
     "cusum_daily_events": SQL_CUSUM_DAILY,
     "filter_lines_docs": SQL_FILTER_LINES,
     "dedup_lines_docs": SQL_DEDUP_LINES,
+    "hash_sample_n_per_source": SQL_HASH_SAMPLE_N,
 }

@@ -184,3 +184,29 @@ def test_source_mix_temperature(spark):
                    mix_weights={"big": 1.0}, temperature=0.5)
     with pytest.raises(ValueError):
         source_mix(df, "doc_id", "n_tok", target_total=1, temperature=0.0)
+
+
+def test_hash_sample_n_exact_counts_and_stability(spark):
+    from timeperiods_spark import hash_sample_n
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], "k long, g string"
+    )
+    out = hash_sample_n(df, "k", 20, ["g"], seed=5)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"g0": 20, "g1": 20, "g2": 20}
+    # partition-independent: same selection at any layout
+    again = hash_sample_n(df.repartition(7, "k"), "k", 20, ["g"], seed=5)
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
+    # different seed -> different selection
+    other = hash_sample_n(df, "k", 20, ["g"], seed=6)
+    assert sorted(r["k"] for r in other.collect()) != sorted(
+        r["k"] for r in out.collect()
+    )
+    # ungrouped + small-group clamp + n=0
+    assert hash_sample_n(df, "k", 25).count() == 25
+    assert hash_sample_n(df.limit(5), "k", 99).count() == 5
+    assert hash_sample_n(df, "k", 0, ["g"]).count() == 0

@@ -46,7 +46,7 @@ from .operators.dedup import (
 )
 from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
-from .operators.sampling import hash_sample, source_mix
+from .operators.sampling import hash_sample, hash_sample_n, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
 from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
@@ -144,6 +144,7 @@ __all__ = [
     "ngram_contamination",
     "ngram_repetition",
     "hash_sample",
+    "hash_sample_n",
     "source_mix",
     "embedding_neardup_pairs",
     "cosine",

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: MINSTD modulus shared with sources/tokens.py — keeps every product
 #: under 2^47 so the identical expression runs in ANSI SQL engines
@@ -104,6 +104,51 @@ def hash_sample(
         return df.filter(u < F.lit(float(fraction)))
     return df.filter(
         u < F.coalesce(F.col(rate_col).cast("double"), F.lit(0.0))
+    )
+
+
+def hash_sample_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``n`` rows per group (or globally) — the rows whose
+    hashed keys are the group's ``n`` smallest. Deterministic,
+    partition-independent, rerun-stable: the same contract as
+    :func:`hash_sample` but with an EXACT count instead of an expected
+    rate (the "give me 10k eval docs per language" call). Groups
+    smaller than ``n`` keep every row. Hash ties (the unit has ~2^31
+    resolution) break by the key ascending, so the selection is a pure
+    function of the data.
+
+    Scale shape: two-phase rank, same as ``topk_per_group`` — a
+    per-partition pre-top-n bounds the final rank window's input to
+    ``n x partitions`` candidate rows, so an ungrouped call never
+    funnels the corpus through one window task. No full sort, no
+    reservoir state.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    gcols = list(group_vars or [])
+    src = df.withColumn("__u", _hash_unit(F.col(key_col), seed))
+    order = [F.col("__u"), F.col(key_col)]
+    wlocal = Window.partitionBy(*gcols, "__part").orderBy(*order)
+    pruned = (
+        src.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wlocal))
+        .filter(F.col("__lr") <= n)
+        .drop("__part", "__lr")
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy(*order)
+    return (
+        pruned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .drop("__u", "__r")
     )
 
 
