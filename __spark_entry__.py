@@ -2308,6 +2308,103 @@ WINDOW w2 AS (PARTITION BY event_type ORDER BY day
 """
 
 
+def _events_days(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.unix_date(F.col("ts").cast("date")).cast("long").alias("day"),
+            "user_id",
+        )
+    )
+
+
+_SQL_EVENTS_DAYS = """
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+def q_distinct_daily(spark, sf_dir):
+    """Daily distinct users per event type through the HLL tier path.
+    The sketch itself has no cross-engine twin, so the query is
+    self-auditing: it emits the EXACT count (oracle-comparable) plus
+    ``est_ok`` = |HLL estimate − exact| / exact <= 5% computed in-band
+    (the oracle emits literal TRUE — a drifting sketch flips the flag
+    and fails the hash compare)."""
+    from timeperiods_spark import distinct_rollup, finalize_distinct
+
+    ev = _events_days(spark, sf_dir)
+    daily = distinct_rollup(ev, "day", "user_id", ["event_type"],
+                            width=1, exact=True)
+    fin = finalize_distinct(daily, "user_id", ["event_type"], width=1)
+    return fin.select(
+        "event_type",
+        F.col("period").alias("day"),
+        F.col("n_distinct").cast("long").alias("n_users"),
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_distinct"))
+            <= 0.05 * F.col("n_distinct")
+        ).alias("est_ok"),
+    )
+
+
+SQL_DISTINCT_DAILY = f"""
+WITH ev AS ({_SQL_EVENTS_DAYS})
+SELECT event_type, day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_ok
+FROM ev GROUP BY event_type, day
+"""
+
+
+def q_distinct_weekly(spark, sf_dir):
+    """Weekly distinct users derived by CASCADING the daily HLL
+    partials (hll_union_agg — no raw rescan), audited in-band against
+    the exact weekly distinct count."""
+    from timeperiods_spark import (
+        distinct_cascade,
+        distinct_rollup,
+        finalize_distinct,
+    )
+
+    ev = _events_days(spark, sf_dir)
+    daily = distinct_rollup(ev, "day", "user_id", ["event_type"], width=1)
+    weekly = finalize_distinct(
+        distinct_cascade(daily, "user_id", ["event_type"],
+                         fine_width=1, coarse_width=7),
+        "user_id", ["event_type"], width=7,
+    )
+    exact = (
+        ev.withColumn("period", F.floor(F.col("day") / 7).cast("long"))
+        .groupBy("event_type", "period")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    j = weekly.join(exact, ["event_type", "period"], "inner")
+    return j.select(
+        "event_type",
+        F.col("period").alias("week"),
+        "n_users",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("est_ok"),
+    )
+
+
+SQL_DISTINCT_WEEKLY = f"""
+WITH ev AS ({_SQL_EVENTS_DAYS})
+SELECT event_type,
+       CAST(FLOOR(day / 7) AS BIGINT) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_ok
+FROM ev GROUP BY event_type, FLOOR(day / 7)
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -2988,6 +3085,8 @@ _PIPELINE_QUERIES = {
     "filter_lines_docs": q_filter_lines,
     "dedup_lines_docs": q_dedup_lines,
     "hash_sample_n_per_source": q_hash_sample_n,
+    "distinct_users_daily": q_distinct_daily,
+    "distinct_users_weekly_cascade": q_distinct_weekly,
 }
 
 _PIPELINE_ORACLES = {
@@ -3023,4 +3122,6 @@ _PIPELINE_ORACLES = {
     "filter_lines_docs": SQL_FILTER_LINES,
     "dedup_lines_docs": SQL_DEDUP_LINES,
     "hash_sample_n_per_source": SQL_HASH_SAMPLE_N,
+    "distinct_users_daily": SQL_DISTINCT_DAILY,
+    "distinct_users_weekly_cascade": SQL_DISTINCT_WEEKLY,
 }

@@ -48,6 +48,11 @@ from .operators.asof import asof_join
 from .operators.packing import pack_chunks, pack_sequences
 from .operators.sampling import hash_sample, hash_sample_n, source_mix
 from .operators.spandedup import duplicate_span_stats, duplicate_spans
+from .operators.distinct import (
+    distinct_cascade,
+    distinct_rollup,
+    finalize_distinct,
+)
 from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
 from .operators.trend import cusum, ewma
@@ -121,6 +126,9 @@ __all__ = [
     "scrub_pii",
     "dedup_lines",
     "filter_lines",
+    "distinct_rollup",
+    "distinct_cascade",
+    "finalize_distinct",
     "cusum",
     "ewma",
     "ngram_jaccard_pairs",
