@@ -54,8 +54,11 @@ def test_distinct_cascade_equals_direct_sketch(spark):
          for r in weekly_via_cascade.collect()}
     b = {(r["g"], r["period"]): r["n_distinct_est"]
          for r in weekly_direct.collect()}
-    # register-wise max: the union of fine sketches IS the coarse sketch
-    assert a == b
+    # the union covers the same registers; estimates may differ only by
+    # the HIP->composite estimator switch (a fraction of the ~1.6% RSE)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) <= 0.03 * max(b[k], 1), (k, a[k], b[k])
 
 
 def test_distinct_rollup_null_handling_and_guards(spark):
@@ -86,3 +89,50 @@ def test_distinct_partials_roundtrip_parquet(spark, tmp_path):
     b = {(r["g"], r["period"]): r["n_distinct_est"]
          for r in finalize_distinct(daily, "uid", ["g"], width=24).collect()}
     assert a == b  # sketches survive the tier file format
+
+
+def test_hll_rides_additive_partials_through_cascade(spark):
+    """Sketch columns joined onto an additive-partial frame survive
+    merge_partials/cascade (hll_ prefix handled like sumsq_/sumxy_)."""
+    from timeperiods_spark import cascade, rollup_regular
+    from timeperiods_spark.operators.rollup import finalize_rollup
+
+    ev = _events(spark, seed=9, n=8_000)
+    x = ev.select(
+        "g", F.col("t").alias("start"), F.col("t").alias("end"),
+        (F.col("uid") % 100).cast("double").alias("v"),
+        "uid",
+    )
+    addi = rollup_regular(x, ("start", "end"), ("v",), ("g",),
+                          width=24, partial=True)
+    hll = distinct_rollup(ev, "t", "uid", ["g"], width=24)
+    combined = addi.join(hll, ["g", "period"], "inner")
+    weekly = cascade(combined, ("v",), ("g",), fine_width=24, coarse_width=168)
+    # distinct side: same register population as a direct weekly sketch
+    # (estimates differ only by the union's composite-estimator switch)
+    a = {(r["g"], r["period"]): r["n_distinct_est"]
+         for r in finalize_distinct(weekly, "uid", ["g"], width=168).collect()}
+    b = {(r["g"], r["period"]): r["n_distinct_est"]
+         for r in finalize_distinct(
+             distinct_rollup(ev, "t", "uid", ["g"], width=168),
+             "uid", ["g"], width=168).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) <= 0.03 * max(b[k], 1), (k, a[k], b[k])
+    # and the cascaded path is identical to the dedicated distinct_cascade
+    c = {(r["g"], r["period"]): r["n_distinct_est"]
+         for r in finalize_distinct(
+             distinct_cascade(hll, "uid", ["g"], fine_width=24,
+                              coarse_width=168),
+             "uid", ["g"], width=168).collect()}
+    assert a == c
+    # additive side unharmed: weekly means match a direct weekly rollup
+    direct = rollup_regular(x, ("start", "end"), ("v",), ("g",),
+                            width=168, partial=True)
+    fa = {(r["g"], r["period"]): round(r["v"], 9)
+          for r in finalize_rollup(weekly, ("v",), ("g",), width=168,
+                                   required_percentage=0).collect()}
+    fb = {(r["g"], r["period"]): round(r["v"], 9)
+          for r in finalize_rollup(direct, ("v",), ("g",), width=168,
+                                   required_percentage=0).collect()}
+    assert fa == fb

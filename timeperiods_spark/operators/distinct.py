@@ -11,9 +11,13 @@ HLL partials (Spark's built-in ``hll_sketch_agg`` family):
 * ``distinct_rollup``: one hash aggregate per (group, period) emitting
   a BINARY sketch column (plus the exact count when ``exact=True`` —
   audit/small-scale only, exact counts cannot cascade).
-* ``distinct_cascade``: daily→weekly by ``hll_union_agg`` — register-
-  wise max, so a union of fine sketches IS the sketch of the union;
-  no raw rescan, same shape as ``rollup.cascade``.
+* ``distinct_cascade``: daily→weekly by ``hll_union_agg`` — the union
+  sees every register the raw data would populate, so NO accuracy is
+  lost to the tiering itself beyond one known effect: a union falls
+  back from the HIP estimator to the composite estimator (standard
+  DataSketches behavior), so a cascaded estimate can differ from a
+  direct raw-data sketch by a fraction of the configured RSE. In
+  sparse/coupon mode (small cells) the union is bit-exact.
 * ``finalize_distinct``: project ``n_distinct_est`` (+ period bounds).
 
 Error model: DataSketches HLL with ``lgk`` config (default 12 →
@@ -83,11 +87,12 @@ def distinct_cascade(
     fine_width: int,
     coarse_width: int,
 ) -> DataFrame:
-    """Coarse-tier sketch partials EXACTLY from fine-tier ones: HLL
-    union is register-wise max, so unioning a period's fine sketches
-    yields the same registers as sketching the raw union — no raw
-    rescan, cascade-exact in the sketch domain. Requires nested widths
-    (same contract as ``rollup.cascade``)."""
+    """Coarse-tier sketch partials from fine-tier ones — no raw
+    rescan. The union covers the same register population as a direct
+    sketch of the raw union; the estimate may differ by a fraction of
+    the RSE because a union uses the composite estimator where a
+    direct aggregation keeps HIP (see module docstring). Requires
+    nested widths (same contract as ``rollup.cascade``)."""
     if coarse_width % fine_width != 0:
         raise RoleValidationError(
             f"coarse width {coarse_width} must be a multiple of fine width {fine_width}"

@@ -821,6 +821,15 @@ def merge_partials(
             for c in df.columns
             if c.startswith("nobsxy_")
         ],
+        # HLL distinct-count sketches (operators/distinct.py) merge by
+        # register-wise union — joining them onto an additive-partial
+        # frame before a tier write makes distinct counts ride the
+        # same catalog/cascade machinery as every other partial
+        *[
+            F.hll_union_agg(F.col(c)).alias(c)
+            for c in df.columns
+            if c.startswith("hll_")
+        ],
         F.min("xminstart").alias("xminstart"),
         F.max("xmaxend").alias("xmaxend"),
     )
