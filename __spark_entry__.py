@@ -2274,6 +2274,46 @@ GROUP BY a.event_type, a.day, a.v
 """
 
 
+def q_holt_daily(spark, sf_dir):
+    """Holt linear-trend smoothing (alpha=.3, beta=.2, h=7 forecast)
+    over daily event means. Spark runs the generalized 2-dim linear
+    recurrence scan (matrix-kernel convolution per bucket + exact
+    matrix composition); the oracle is the recurrence ITSELF via a
+    recursive CTE — sequential per group, fine at oracle scale."""
+    from timeperiods_spark import holt
+
+    return holt(
+        _daily_means(spark, sf_dir), "day", "v", ["event_type"],
+        alpha=0.3, beta=0.2, forecast=7,
+    )
+
+
+SQL_HOLT_DAILY = f"""
+WITH RECURSIVE daily AS ({_SQL_DAILY_MEANS}),
+idx AS (
+  SELECT event_type, day, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+rec AS (
+  SELECT event_type, day, v, i, v AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.v, idx.i,
+         0.3 * idx.v + 0.7 * (rec.l + rec.b) AS l,
+         0.2 * (0.3 * idx.v + 0.7 * (rec.l + rec.b) - rec.l) + 0.8 * rec.b AS b
+  FROM idx JOIN rec
+    ON idx.event_type IS NOT DISTINCT FROM rec.event_type
+   AND idx.i = rec.i + 1
+)
+SELECT event_type, day, v,
+       ROUND(l, 6) AS holt_level,
+       ROUND(b, 6) AS holt_trend,
+       ROUND(l + 7 * b, 6) AS holt_forecast
+FROM rec
+"""
+
+
 def q_cusum_daily(spark, sf_dir):
     """Two-sided tabular CUSUM over daily event means (target 50,
     slack 1, alarm threshold 25) — exact closed prefix form
@@ -3087,6 +3127,7 @@ _PIPELINE_QUERIES = {
     "hash_sample_n_per_source": q_hash_sample_n,
     "distinct_users_daily": q_distinct_daily,
     "distinct_users_weekly_cascade": q_distinct_weekly,
+    "holt_daily_events": q_holt_daily,
 }
 
 _PIPELINE_ORACLES = {
@@ -3124,4 +3165,5 @@ _PIPELINE_ORACLES = {
     "hash_sample_n_per_source": SQL_HASH_SAMPLE_N,
     "distinct_users_daily": SQL_DISTINCT_DAILY,
     "distinct_users_weekly_cascade": SQL_DISTINCT_WEEKLY,
+    "holt_daily_events": SQL_HOLT_DAILY,
 }

@@ -160,3 +160,70 @@ def test_cusum_one_sided_and_null_group(spark):
     assert "cusum_neg" not in out[0].asDict()
     for r in out:
         assert r["cusum_pos"] == pytest.approx(exp[(r["g"], r["t"])][0], abs=2e-6)
+
+
+def _slow_holt(rows, alpha, beta):
+    out = {}
+    by_g = {}
+    for g, t, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append((t, v))
+    for g, tv in by_g.items():
+        l = b = None
+        for t, v in sorted(tv):
+            if l is None:
+                l, b = v, 0.0
+            else:
+                l_new = alpha * v + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                l = l_new
+            out[(g, t)] = (l, b)
+    return out
+
+
+def test_holt_matches_sequential_recurrence(spark):
+    from timeperiods_spark import holt
+
+    rows = _series(17, 150)
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    for a, b in ((0.3, 0.2), (0.9, 0.9), (0.05, 1.0)):
+        exp = _slow_holt(rows, a, b)
+        got = holt(df, "t", "v", ["g"], alpha=a, beta=b, forecast=3).collect()
+        assert len(got) == len(exp)
+        for r in got:
+            el, eb = exp[(r["g"], r["t"])]
+            assert r["holt_level"] == pytest.approx(el, abs=5e-6), (a, b, r["g"], r["t"])
+            assert r["holt_trend"] == pytest.approx(eb, abs=5e-6), (a, b, r["g"], r["t"])
+            assert r["holt_forecast"] == pytest.approx(
+                round(r["holt_level"] + 3 * r["holt_trend"], 5), abs=2e-5)
+
+
+def test_holt_bucketed_equals_whole_group(spark):
+    from timeperiods_spark import holt
+
+    rows = _series(19, 300, groups=("x", None))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    a = holt(df, "t", "v", ["g"], alpha=0.4, beta=0.3).collect()
+    b = holt(df, "t", "v", ["g"], alpha=0.4, beta=0.3,
+             carry_hints={"groups": 10_000_000}).collect()
+    am = {(r["g"], r["t"]): (r["holt_level"], r["holt_trend"]) for r in a}
+    bm = {(r["g"], r["t"]): (r["holt_level"], r["holt_trend"]) for r in b}
+    assert am.keys() == bm.keys()
+    for k in am:
+        assert am[k][0] == pytest.approx(bm[k][0], abs=5e-6)
+        assert am[k][1] == pytest.approx(bm[k][1], abs=5e-6)
+
+
+def test_holt_validates(spark):
+    from timeperiods_spark import holt
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, t int, v double")
+    with pytest.raises(RoleValidationError):
+        holt(df, "t", "v", ["g"], alpha=1.0, beta=0.5)
+    with pytest.raises(RoleValidationError):
+        holt(df, "t", "v", ["g"], alpha=0.5, beta=0.0)
+    dup = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0)], "g string, t int, v double"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        holt(dup, "t", "v", ["g"], alpha=0.5, beta=0.5).collect()

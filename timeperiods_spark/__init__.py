@@ -55,7 +55,7 @@ from .operators.distinct import (
 )
 from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
-from .operators.trend import cusum, ewma
+from .operators.trend import cusum, ewma, holt
 from .operators.tokenstats import (
     ngram_contamination,
     ngram_repetition,
@@ -131,6 +131,7 @@ __all__ = [
     "finalize_distinct",
     "cusum",
     "ewma",
+    "holt",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",

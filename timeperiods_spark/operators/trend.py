@@ -195,6 +195,252 @@ def cusum(
     return stage2.select(*out_cols)
 
 
+def _mat_powers(A: "np.ndarray", n: int) -> "np.ndarray":
+    """``A^k`` for ``k = 0..n-1`` as an ``(n, 2, 2)`` array, vectorized
+    through the eigen decomposition (complex-safe; Jordan fallback for
+    a repeated eigenvalue). Holt matrices are strictly stable for
+    ``alpha in (0,1), beta in (0,1]`` (det = 1-alpha, char poly at 1
+    equals alpha*beta > 0), so the powers never blow up."""
+    if n <= 0:
+        return np.zeros((0, 2, 2))
+    lam, P = np.linalg.eig(A)
+    ks = np.arange(n, dtype="float64")
+    if abs(lam[0] - lam[1]) > 1e-9 * max(1.0, abs(lam[0]), abs(lam[1])):
+        Pinv = np.linalg.inv(P)
+        D = lam[None, :] ** ks[:, None]  # (n, 2), complex-safe
+        out = np.einsum("ij,kj,jl->kil", P, D, Pinv).real
+    else:
+        lam0 = (A[0, 0] + A[1, 1]) / 2.0  # repeated (necessarily real)
+        N = A - lam0 * np.eye(2)
+        lk = lam0 ** ks
+        lk1 = np.zeros_like(lk)
+        lk1[1:] = lam0 ** (ks[1:] - 1.0)
+        out = (
+            lk[:, None, None] * np.eye(2)[None]
+            + (ks * lk1)[:, None, None] * N[None]
+        )
+    return out
+
+
+def _conv_trunc(v: "np.ndarray", K: "np.ndarray") -> "np.ndarray":
+    """Truncated convolution ``z[m] = sum_j K[m-j] @ v[j]`` for the
+    zero-seeded matrix chain: direct ``np.convolve`` for small
+    batches, FFT for large ones (O(n log n); error ~n*eps, orders of
+    magnitude under the 6dp output grid)."""
+    n = len(v)
+    out = np.empty((n, 2))
+    if n < 2048:
+        for comp in range(2):
+            out[:, comp] = np.convolve(v, K[:, comp])[:n]
+        return out
+    L = 1 << int(2 * n - 1).bit_length()
+    fv = np.fft.rfft(v, L)
+    for comp in range(2):
+        out[:, comp] = np.fft.irfft(fv * np.fft.rfft(K[:, comp], L), L)[:n]
+    return out
+
+
+def holt(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    alpha: float,
+    beta: float,
+    forecast: Optional[int] = None,
+    carry_hints: Optional[dict] = None,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per group:
+
+    ``l_i = alpha v_i + (1-alpha)(l_{i-1} + b_{i-1})``,
+    ``b_i = beta (l_i - l_{i-1}) + (1-beta) b_{i-1}``,
+    seeded ``l_0 = v_0, b_0 = 0``. Emits ``holt_level`` and
+    ``holt_trend`` (+ ``holt_forecast`` = level + h*trend when
+    ``forecast=h``), each rounded to 6dp. NULL values are excluded;
+    duplicate ``t`` within a group raise.
+
+    This is the EWMA scan generalized to a 2-dim linear recurrence
+    ``s_i = A s_{i-1} + c v_i`` (A = [[1-a, 1-a], [-ab, 1-ab]],
+    c = [a, ab]): within each (group, carry-bucket) the zero-seeded
+    chain is an Arrow-batched CONVOLUTION with the matrix kernel
+    ``A^k c`` (eigen-vectorized powers; FFT above 2048 rows), and
+    buckets compose exactly — the per-group HOF scan folds each
+    bucket's end state and transition ``A^(n_b)``, the per-row matrix
+    ``A^m`` rides out as four columns, and the first-observation
+    seeding is the closed-form correction ``v_0 A^i u``
+    (u = [1-a, -ab]). Parallelism = bucket count at any group
+    cardinality; no per-row Python anywhere (the convolution is
+    O(n log n) vectorized numpy).
+    """
+    alpha, beta = float(alpha), float(beta)
+    if not (0.0 < alpha < 1.0):
+        raise RoleValidationError(f"holt: alpha must be in (0, 1), got {alpha}")
+    if not (0.0 < beta <= 1.0):
+        raise RoleValidationError(f"holt: beta must be in (0, 1], got {beta}")
+    A = np.array([[1 - alpha, 1 - alpha], [-alpha * beta, 1 - alpha * beta]])
+    c_vec = np.array([alpha, alpha * beta])
+    u_vec = np.array([1 - alpha, -alpha * beta])
+    gcols = list(group_vars or [])
+    hints = dict(carry_hints or {})
+
+    base = (
+        df.withColumn("__t", _order_long(df, t_col, "holt"))
+        .filter(F.col(value_col).isNotNull())
+        .select(*gcols, F.col(t_col).alias("__tv"), "__t",
+                F.col(value_col).cast("double").alias("__v"))
+    )
+    plan = plan_buckets(
+        base, gcols, "__t",
+        group_count_hint=hints.get("groups"), bounds_hint=hints.get("span"),
+    )
+    src = plan.df
+    whole_group = not plan.bucketed
+
+    in_schema = src.schema
+    extra = ["__zl", "__zb", "__p11", "__p12", "__p21", "__p22"]
+    out_schema = T.StructType(
+        [in_schema[g] for g in gcols]
+        + [T.StructField("__bk", T.LongType()), in_schema["__tv"],
+           T.StructField("__t", T.LongType()),
+           T.StructField("__v", T.DoubleType())]
+        + [T.StructField(nm, T.DoubleType()) for nm in extra]
+    )
+    tname = t_col
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t", kind="mergesort").reset_index(drop=True)
+        if pdf["__t"].duplicated().any():
+            d = int(pdf["__t"][pdf["__t"].duplicated()].iloc[0])
+            raise ValueError(
+                f"holt: duplicate {tname} within a group (order value {d})"
+            )
+        v = pdf["__v"].to_numpy(dtype="float64")
+        n = len(v)
+        with np.errstate(under="ignore"):
+            pw = _mat_powers(A, n + 1)        # A^0 .. A^n
+            K = pw[:n] @ c_vec                # kernel A^k c, (n, 2)
+            z = _conv_trunc(v, K) if n else np.zeros((0, 2))
+        if whole_group and n:
+            # seeding correction applied right here: s_i += v0 A^i u
+            corr = pw[:n] @ u_vec             # (n, 2)
+            z = z + v[0] * corr
+        pdf["__zl"], pdf["__zb"] = z[:, 0], z[:, 1]
+        pdf["__p11"], pdf["__p12"] = pw[:n, 0, 0], pw[:n, 0, 1]
+        pdf["__p21"], pdf["__p22"] = pw[:n, 1, 0], pw[:n, 1, 1]
+        return pdf[[*gcols, "__bk", "__tv", "__t", "__v", *extra]]
+
+    local = src.groupBy(*gcols, "__bk").applyInPandas(_batch, out_schema)
+
+    def _emit(frame, level, trend):
+        cols = [
+            *gcols, F.col("__tv").alias(t_col),
+            F.col("__v").alias(value_col),
+            F.round(level, 6).alias("holt_level"),
+            F.round(trend, 6).alias("holt_trend"),
+        ]
+        if forecast is not None:
+            cols.append(
+                F.round(level + F.lit(float(forecast)) * trend, 6)
+                .alias("holt_forecast")
+            )
+        return frame.select(*cols)
+
+    if whole_group:
+        return _emit(local, F.col("__zl"), F.col("__zb"))
+
+    # ---- cross-bucket composition: fold (end state, A^n_b) exactly --
+    # the bucket transition A^(n_b) needs no extra stage: the last
+    # row's per-row matrix is A^(n_b - 1), so A^(n_b) = A @ P_last —
+    # four literal-weighted column expressions
+    a11, a12 = 1 - alpha, 1 - alpha
+    a21, a22 = -alpha * beta, 1 - alpha * beta
+    last = F.max(F.struct("__t", "__zl", "__zb",
+                          "__p11", "__p12", "__p21", "__p22")).alias("__end")
+    bstats = local.groupBy(*gcols, "__bk").agg(
+        last,
+        F.min(F.struct("__t", "__v")).getField("__v").alias("__vf"),
+    ).select(
+        *gcols, "__bk", "__vf",
+        F.col("__end.__zl").alias("__zl_end"),
+        F.col("__end.__zb").alias("__zb_end"),
+        (F.lit(a11) * F.col("__end.__p11") + F.lit(a12) * F.col("__end.__p21")).alias("__m11"),
+        (F.lit(a11) * F.col("__end.__p12") + F.lit(a12) * F.col("__end.__p22")).alias("__m12"),
+        (F.lit(a21) * F.col("__end.__p11") + F.lit(a22) * F.col("__end.__p21")).alias("__m21"),
+        (F.lit(a21) * F.col("__end.__p12") + F.lit(a22) * F.col("__end.__p22")).alias("__m22"),
+    )
+    per_group = bstats.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("__bk").alias("bk"),
+                F.col("__zl_end").alias("zl"), F.col("__zb_end").alias("zb"),
+                F.col("__m11").alias("m11"), F.col("__m12").alias("m12"),
+                F.col("__m21").alias("m21"), F.col("__m22").alias("m22"),
+                F.col("__vf").alias("vf"),
+            ))
+        ).alias("__bl")
+    )
+    st_t = (
+        "struct<cl: double, cb: double, wa: double, wb: double, "
+        "out: array<struct<bk: bigint, ca: double, cb2: double, "
+        "wa: double, wb: double>>>"
+    )
+    scanned = per_group.withColumn(
+        "__scan",
+        F.aggregate(
+            "__bl",
+            F.expr(
+                f"named_struct('cl', cast(0.0 as double), 'cb', "
+                f"cast(0.0 as double), 'wa', cast({float(u_vec[0])!r} as double), "
+                f"'wb', cast({float(u_vec[1])!r} as double), 'out', cast(array() "
+                "as array<struct<bk: bigint, ca: double, cb2: double, "
+                "wa: double, wb: double>>))"
+            ).cast(st_t),
+            lambda acc, b: F.struct(
+                (b["zl"] + b["m11"] * acc["cl"] + b["m12"] * acc["cb"]).alias("cl"),
+                (b["zb"] + b["m21"] * acc["cl"] + b["m22"] * acc["cb"]).alias("cb"),
+                (b["m11"] * acc["wa"] + b["m12"] * acc["wb"]).alias("wa"),
+                (b["m21"] * acc["wa"] + b["m22"] * acc["wb"]).alias("wb"),
+                F.concat(
+                    acc["out"],
+                    F.array(F.struct(
+                        b["bk"].alias("bk"),
+                        (F.lit(a11) * acc["cl"] + F.lit(a12) * acc["cb"]).alias("ca"),
+                        (F.lit(a21) * acc["cl"] + F.lit(a22) * acc["cb"]).alias("cb2"),
+                        acc["wa"].alias("wa"), acc["wb"].alias("wb"),
+                    )),
+                ).alias("out"),
+            ),
+        ),
+    ).select(
+        *[F.col(g).alias(f"__h_{g}") for g in gcols],
+        F.element_at("__bl", 1).getField("vf").alias("__v0"),
+        F.explode("__scan.out").alias("__s"),
+    ).select(
+        *[f"__h_{g}" for g in gcols], "__v0",
+        F.col("__s.bk").alias("__hbk"),
+        F.col("__s.ca").alias("__ca"), F.col("__s.cb2").alias("__cb"),
+        F.col("__s.wa").alias("__wa"), F.col("__s.wb").alias("__wb"),
+    )
+    cond = F.col("__bk") == F.col("__hbk")
+    for g in gcols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__h_{g}"))
+    joined = local.join(F.broadcast(scanned), cond, "left")
+    # s_i = z_local + A^m (A * chain_in) + v0 A^m (A^N_before u)
+    ca, cb = F.coalesce(F.col("__ca"), F.lit(0.0)), F.coalesce(F.col("__cb"), F.lit(0.0))
+    wa, wb = F.coalesce(F.col("__wa"), F.lit(0.0)), F.coalesce(F.col("__wb"), F.lit(0.0))
+    v0 = F.coalesce(F.col("__v0"), F.lit(0.0))
+    level = (
+        F.col("__zl") + F.col("__p11") * ca + F.col("__p12") * cb
+        + v0 * (F.col("__p11") * wa + F.col("__p12") * wb)
+    )
+    trend = (
+        F.col("__zb") + F.col("__p21") * ca + F.col("__p22") * cb
+        + v0 * (F.col("__p21") * wa + F.col("__p22") * wb)
+    )
+    return _emit(joined, level, trend)
+
+
 def ewma(
     df: DataFrame,
     t_col: str,
