@@ -2445,6 +2445,73 @@ FROM ev GROUP BY event_type, FLOOR(day / 7)
 """
 
 
+def q_zscore_anomaly(spark, sf_dir):
+    """Trailing z-score anomaly flags over daily event means: baseline
+    = the 7 strictly-preceding days (fan-out + hash agg in Spark; a
+    RANGE window in the oracle — same arithmetic)."""
+    from timeperiods_spark import zscore_anomaly
+
+    return zscore_anomaly(
+        _daily_means(spark, sf_dir), "day", "v", ["event_type"], k=7, z=2.0
+    )
+
+
+_ZN = "SUM(v) OVER win"
+_ZSS = "SUM(v*v) OVER win"
+_ZC = "COUNT(v) OVER win"
+_ZMEAN = f"({_ZN}) / ({_ZC})"
+_ZSTD = f"sqrt(greatest(({_ZSS}) / ({_ZC}) - ({_ZMEAN}) * ({_ZMEAN}), 0.0))"
+_ZSCORE = (
+    f"CASE WHEN ({_ZC}) >= 3 AND ROUND({_ZSTD}, 6) > 0.0 "
+    f"THEN ROUND((v - ({_ZMEAN})) / ({_ZSTD}), 6) END"
+)
+
+SQL_ZSCORE_ANOMALY = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+d2 AS (
+  SELECT event_type, day, v,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dl
+  FROM daily
+)
+SELECT event_type, day, v,
+       CASE WHEN ({_ZC}) > 0 THEN ROUND({_ZMEAN}, 6) END AS base_mean,
+       CASE WHEN ({_ZC}) > 0 THEN ROUND({_ZSTD}, 6) END AS base_std,
+       {_ZSCORE} AS zscore,
+       COALESCE(ABS({_ZSCORE}) > 2.0, FALSE) AS is_anomaly
+FROM d2
+WINDOW win AS (PARTITION BY event_type ORDER BY dl
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_seasonal_adjust(spark, sf_dir):
+    """Additive day-of-week adjustment of daily event means: subtract
+    the (type, weekday) mean, re-center on the type mean."""
+    from timeperiods_spark import seasonal_adjust
+
+    return seasonal_adjust(
+        _daily_means(spark, sf_dir), "day", "v", ["event_type"],
+        season_length=7,
+    )
+
+
+SQL_SEASONAL_ADJUST = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+d2 AS (
+  SELECT event_type, day, v,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dl
+  FROM daily
+)
+SELECT event_type, day, v,
+       CAST(((dl % 7) + 7) % 7 AS BIGINT) AS season,
+       ROUND(AVG(v) OVER (PARTITION BY event_type, ((dl % 7) + 7) % 7), 6)
+         AS seasonal_mean,
+       ROUND(v - AVG(v) OVER (PARTITION BY event_type, ((dl % 7) + 7) % 7)
+             + AVG(v) OVER (PARTITION BY event_type), 6) AS v_adj
+FROM d2
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -3128,6 +3195,8 @@ _PIPELINE_QUERIES = {
     "distinct_users_daily": q_distinct_daily,
     "distinct_users_weekly_cascade": q_distinct_weekly,
     "holt_daily_events": q_holt_daily,
+    "zscore_anomaly_daily": q_zscore_anomaly,
+    "seasonal_adjust_daily": q_seasonal_adjust,
 }
 
 _PIPELINE_ORACLES = {
@@ -3166,4 +3235,6 @@ _PIPELINE_ORACLES = {
     "distinct_users_daily": SQL_DISTINCT_DAILY,
     "distinct_users_weekly_cascade": SQL_DISTINCT_WEEKLY,
     "holt_daily_events": SQL_HOLT_DAILY,
+    "zscore_anomaly_daily": SQL_ZSCORE_ANOMALY,
+    "seasonal_adjust_daily": SQL_SEASONAL_ADJUST,
 }

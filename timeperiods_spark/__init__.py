@@ -55,6 +55,7 @@ from .operators.distinct import (
 )
 from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
+from .operators.anomaly import seasonal_adjust, zscore_anomaly
 from .operators.trend import cusum, ewma, holt
 from .operators.tokenstats import (
     ngram_contamination,
@@ -132,6 +133,8 @@ __all__ = [
     "cusum",
     "ewma",
     "holt",
+    "zscore_anomaly",
+    "seasonal_adjust",
     "ngram_jaccard_pairs",
     "minhash_candidate_pairs",
     "minhash_dedup",
