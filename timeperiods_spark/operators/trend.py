@@ -331,6 +331,13 @@ def holt(
         return pdf[[*gcols, "__bk", "__tv", "__t", "__v", *extra]]
 
     local = src.groupBy(*gcols, "__bk").applyInPandas(_batch, out_schema)
+    if not whole_group:
+        # the bucketed path reads `local` twice (bucket stats + the
+        # join-back) — without a persist the whole Arrow scan runs
+        # twice (measured ~2x wall at 4M rows)
+        from ..plans.cachectl import managed_persist
+
+        local = managed_persist(local, "holt.local")
 
     def _emit(frame, level, trend):
         cols = [
@@ -535,6 +542,11 @@ def ewma(
         return pdf[[*gcols, "__bk", "__tv", "__t", "__v", "__local", "__decay0"]]
 
     local = src.groupBy(*gcols, "__bk").applyInPandas(_batch, out_schema)
+    if not whole_group:
+        # bucketed path reads `local` twice (bucket stats + join-back)
+        from ..plans.cachectl import managed_persist
+
+        local = managed_persist(local, "ewma.local")
 
     if whole_group:
         # init handled inside the batch; no cross-bucket composition

@@ -169,6 +169,44 @@ def pipeline_probe(spark) -> dict:
             return out.count()
         return run
 
+    def w_dedup_lines(sf_dir: str):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def run():
+            from timeperiods_spark import dedup_lines
+
+            # line-broken docs (the synthetic corpus is single-line):
+            # break after every 5 words — whitespace survives the sf1
+            # per-copy Caesar rotation, so BOTH legs get the same line
+            # shape (a word-keyed break would leave rotated copies
+            # single-line and flatter the 10x ratio).
+            # hash_lines = the 8-byte production key shape.
+            broken = docs.select(
+                F.col("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+\s+){5})", "$1\n"
+                ).alias("text"),
+            )
+            out = dedup_lines(broken, "doc_id", "text", hash_lines=True)
+            return out.count()
+        return run
+
+    def w_holt(n_rows: int):
+        def run():
+            from timeperiods_spark import holt
+
+            # synthetic long series: 8 groups x n_rows/8 points — the
+            # bucketed matrix-scan path (few groups, big domain)
+            n_g = 8
+            base = spark.range(n_rows).select(
+                (F.col("id") % n_g).alias("g"),
+                (F.col("id") / n_g).cast("long").alias("t"),
+                (F.sin(F.col("id") / 97.0) * 50 + 100).alias("v"),
+            )
+            out = holt(base, "t", "v", ["g"], alpha=0.3, beta=0.2)
+            return out.count()
+        return run
+
     # sf0.1 has 5000 docs (ids 0..4999); sf1 = 10 shifted copies. The
     # incremental base probes the top 10% against the other 90%; at 10x
     # the batch is copy 9 probing the index of copies 0-8.
@@ -180,7 +218,13 @@ def pipeline_probe(spark) -> dict:
             w_minhash_inc(SF1_DIR, 45000),
         ),
         "duplicate_spans": (w_spans(SRC), w_spans(SF1_DIR)),
+        "dedup_lines": (w_dedup_lines(SRC), w_dedup_lines(SF1_DIR)),
+        "holt": (w_holt(400_000), w_holt(4_000_000)),
     }
+    only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        workloads = {k: v for k, v in workloads.items() if k in keep}
     out: dict = {"base_docs": n_base}
     for name, (small, large) in workloads.items():
         rows_s, wall_s, pr_s = bench._bracketed_call(
@@ -264,6 +308,24 @@ def main() -> None:
     out_path = os.environ.get(
         "SPARK_GRAFT_SF1_OUT", os.path.join(REPO, "BENCH_DETAIL_SF1.json")
     )
+    if os.environ.get("SPARK_GRAFT_SF1_MERGE") == "1" and os.path.exists(out_path):
+        # additive probe run: update only what was measured, keep the
+        # committed quiet-window evidence for everything else
+        with open(out_path) as f:
+            prev = json.load(f)
+        merged_pipe = dict(prev.get("pipeline_10x") or {})
+        merged_pipe.update({k: v for k, v in pipeline.items() if k != "base_docs"})
+        if pipeline:
+            merged_pipe["base_docs"] = pipeline.get(
+                "base_docs", merged_pipe.get("base_docs")
+            )
+        prev["pipeline_10x"] = merged_pipe
+        if times:
+            prev["queries"] = out["queries"]
+            prev["total_seconds"] = out["total_seconds"]
+            prev["ratio_vs_sf01"] = out["ratio_vs_sf01"]
+            prev["extras"] = out["extras"]
+        out = prev
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, default=str)
     print(json.dumps({
