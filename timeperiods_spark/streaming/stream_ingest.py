@@ -106,6 +106,43 @@ def windowed_rollup_stream(
     )
 
 
+def distinct_rollup_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    group_cols: Sequence[str],
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    lgk: int = 12,
+) -> DataFrame:
+    """Watermarked distinct-count sketch partials of a point-event
+    stream: one HLL sketch per (group, window) — the streaming front
+    of ``operators.distinct``. The emitted BINARY sketch column merges
+    downstream with ``hll_union_agg`` (``distinct_cascade`` /
+    ``merge_partials``), so a streaming hourly tier cascades into the
+    batch daily/weekly tiers with no raw replay. NULL keys are
+    excluded (COUNT DISTINCT semantics); late rows beyond the
+    watermark are dropped by the state store."""
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.window(ts_col, window_duration).alias("win"))
+        .agg(
+            F.hll_sketch_agg(F.col(key_col), F.lit(int(lgk)))
+            .alias(f"hll_{key_col}"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            *group_cols,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            f"hll_{key_col}",
+            "n_events",
+        )
+    )
+
+
 def stateful_locf_stream(
     events: DataFrame,
     group_cols: Sequence[str],
