@@ -2512,6 +2512,83 @@ FROM d2
 """
 
 
+#: greedy-tokenizer vocab for the driver query — multi-char pieces
+#: exercise longest-match; single letters are fallbacks; letters
+#: outside the list emit unk (0)
+_TOKVOCAB = {
+    "ta": 1, "ble": 2, "val": 3, "ue": 4, "row": 5, "scan": 6,
+    "key": 7, "agg": 8, "ha": 9, "sh": 10, "mer": 11, "ge": 12,
+    "ba": 13, "tch": 14, "win": 15, "dow": 16, "spark": 17, "or": 18,
+    "der": 19, "da": 20, "col": 21, "umn": 22, "jo": 23, "in": 24,
+    "a": 25, "e": 26, "s": 27, "t": 28, "l": 29, "m": 30, "n": 31,
+    "r": 32, "u": 33, "c": 34, "d": 35, "o": 36, "p": 37, "q": 38,
+    "b": 39, "f": 40, "w": 41,
+}
+
+
+def q_tokenize(spark, sf_dir):
+    """Greedy longest-match vocab tokenization of the documents
+    corpus. Spark tokenizes DISTINCT words only (Zipf: vocabulary-
+    sized Python, corpus-sized JVM) and joins back; the oracle runs
+    the identical greedy semantics as a recursive CTE over word
+    positions. Token ids compare as a CSV string (array columns
+    sidestep the driver's value-hash ordering)."""
+    from timeperiods_spark import tokenize_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tokenize_vocab(docs, "doc_id", "text", _TOKVOCAB)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tok"),
+        F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+        .alias("toks_csv"),
+    )
+
+
+_VOCAB_VALUES = ",".join(f"('{p}',{i})" for p, i in _TOKVOCAB.items())
+
+SQL_TOKENIZE = f"""
+WITH RECURSIVE vocab(piece, id) AS (VALUES {_VOCAB_VALUES}),
+docw AS (
+  SELECT doc_id, w, idx FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM documents
+  ) WHERE LEN(w) > 0
+),
+words0 AS (SELECT DISTINCT w FROM docw),
+steps AS (
+  SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS toks FROM words0
+  UNION ALL
+  SELECT s.w,
+         s.pos + COALESCE((SELECT MAX(LEN(v.piece)) FROM vocab v
+                           WHERE v.piece = substr(s.w, s.pos + 1, LEN(v.piece))), 1) AS pos,
+         (CASE WHEN s.toks = '' THEN '' ELSE s.toks || ',' END) ||
+         COALESCE(CAST((SELECT v.id FROM vocab v
+                        WHERE v.piece = substr(s.w, s.pos + 1, LEN(v.piece))
+                        ORDER BY LEN(v.piece) DESC LIMIT 1) AS VARCHAR), '0') AS toks
+  FROM steps s WHERE s.pos < LEN(s.w)
+),
+final AS (SELECT w, toks FROM steps WHERE pos >= LEN(w)),
+joined AS (
+  SELECT d.doc_id, d.idx, f.toks,
+         LEN(string_split(f.toks, ',')) AS n
+  FROM docw d JOIN final f ON d.w = f.w
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(toks, ',' ORDER BY idx) AS toks_csv,
+         SUM(n) AS n
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tok,
+       COALESCE(a.toks_csv, '') AS toks_csv
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -3197,6 +3274,7 @@ _PIPELINE_QUERIES = {
     "holt_daily_events": q_holt_daily,
     "zscore_anomaly_daily": q_zscore_anomaly,
     "seasonal_adjust_daily": q_seasonal_adjust,
+    "tokenize_vocab_docs": q_tokenize,
 }
 
 _PIPELINE_ORACLES = {
@@ -3237,4 +3315,5 @@ _PIPELINE_ORACLES = {
     "holt_daily_events": SQL_HOLT_DAILY,
     "zscore_anomaly_daily": SQL_ZSCORE_ANOMALY,
     "seasonal_adjust_daily": SQL_SEASONAL_ADJUST,
+    "tokenize_vocab_docs": SQL_TOKENIZE,
 }

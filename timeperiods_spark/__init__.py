@@ -55,6 +55,7 @@ from .operators.distinct import (
 )
 from .operators.lines import dedup_lines, filter_lines
 from .operators.textops import scrub_pii
+from .operators.tokenize import tokenize_vocab
 from .operators.anomaly import seasonal_adjust, zscore_anomaly
 from .operators.trend import cusum, ewma, holt
 from .operators.tokenstats import (
@@ -125,6 +126,7 @@ __all__ = [
     "duplicate_spans",
     "duplicate_span_stats",
     "scrub_pii",
+    "tokenize_vocab",
     "dedup_lines",
     "filter_lines",
     "distinct_rollup",
