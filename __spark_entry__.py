@@ -2589,6 +2589,28 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q_cosine_ivf_via_index(spark, sf_dir):
+    """IVF top-k against the PERSISTED index path (build_ivf_index +
+    cosine_topk_ivf_index): same semantics as cosine_topk_ivf, so the
+    SAME oracle SQL pins both — at 100 TB the index is written
+    partitioned by cell and the probe filter prunes at the file level
+    (pinned in tests)."""
+    from timeperiods_spark import build_ivf_index, cosine_topk_ivf_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = build_ivf_index(emb, dim=64, n_centroids=16)
+    out = cosine_topk_ivf_index(
+        idx, queries_df, k=10, dim=64, n_centroids=16, n_probe=8
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -3275,6 +3297,7 @@ _PIPELINE_QUERIES = {
     "zscore_anomaly_daily": q_zscore_anomaly,
     "seasonal_adjust_daily": q_seasonal_adjust,
     "tokenize_vocab_docs": q_tokenize,
+    "cosine_topk_ivf_index": q_cosine_ivf_via_index,
 }
 
 _PIPELINE_ORACLES = {
@@ -3316,4 +3339,5 @@ _PIPELINE_ORACLES = {
     "zscore_anomaly_daily": SQL_ZSCORE_ANOMALY,
     "seasonal_adjust_daily": SQL_SEASONAL_ADJUST,
     "tokenize_vocab_docs": SQL_TOKENIZE,
+    "cosine_topk_ivf_index": SQL_COSINE_IVF,
 }

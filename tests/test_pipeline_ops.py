@@ -782,3 +782,41 @@ def test_minhash_hot_bucket_warns_without_cap(spark):
             docs, "doc_id", "text", verify_threshold=0.9, max_bucket_size=16
         ).count()
         assert not [x for x in rec2 if "hottest" in str(x.message)]
+
+
+def test_ivf_index_roundtrip_and_equality(spark, tmp_path):
+    """Persisted IVF index == direct IVF, through a cell-partitioned
+    parquet round-trip; probing prunes partitions at the scan."""
+    from timeperiods_spark import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        cosine_topk_ivf_index,
+    )
+
+    rng = __import__("random").Random(12)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=8, dim=16, n_centroids=8, n_probe=3)
+    direct = cosine_topk_ivf(emb, queries, **kw).collect()
+
+    idx = build_ivf_index(emb, dim=16, n_centroids=8)
+    p = str(tmp_path / "ivf")
+    idx.write.partitionBy("cell").parquet(p)
+    back = spark.read.parquet(p)
+    via_index = cosine_topk_ivf_index(back, queries, **kw)
+    got = via_index.collect()
+    dm = {(r["query_id"], r["vec_id"]): (r["rank"], round(r["cosine"], 9))
+          for r in direct}
+    gm = {(r["query_id"], r["vec_id"]): (r["rank"], round(r["cosine"], 9))
+          for r in got}
+    assert dm == gm and len(dm) > 0
+
+    # partition pruning: probing a SINGLE known cell must plan a scan
+    # with a partition filter on cell (file-level pruning at 100 TB)
+    one = back.filter(F.col("cell") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "")[:10**6] or \
+        "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]

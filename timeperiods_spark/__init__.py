@@ -67,9 +67,11 @@ from .operators.tokenstats import (
 )
 from .plans.cachectl import release as release_caches
 from .operators.similarity import (
+    build_ivf_index,
     cosine,
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivf_index,
     cosine_topk_lsh,
 )
 from .operators.rollup import (
@@ -164,6 +166,8 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_index",
+    "build_ivf_index",
     "cosine_topk_lsh",
     "asof_join",
     "get_spark",

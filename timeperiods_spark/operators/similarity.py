@@ -297,6 +297,67 @@ def ivf_query_cells(vec: Column, dim: int, n_centroids: int, n_probe: int) -> Co
     return F.transform(F.slice(ranked, 1, n_probe), lambda x: x["c"])
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Bootstrap the persistable inverted-file index: one row per
+    corpus vector — ``(vec_id, cell, v)`` with ``cell`` = the nearest
+    deterministic centroid. The 100 TB deployment writes this
+    PARTITIONED BY ``cell`` (``df.write.partitionBy("cell")`` /
+    a bucketed table): a query batch probing ``n_probe`` cells then
+    reads only ``n_probe / n_centroids`` of the corpus — partition
+    pruning does the cell selection before any I/O (pinned by
+    ``tests/test_plans.py::test_ivf_index_partition_pruning``).
+    Nightly appends just assign cells to the new batch and append —
+    no rebuild (centroids are deterministic in the vector dim)."""
+    from ..functions.grid import spread_input
+
+    return spread_input(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(
+            F.col(vec_col).cast("array<double>"), dim, n_centroids
+        ).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def cosine_topk_ivf_index(
+    index: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    partial_topk: bool = True,
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (``build_ivf_index``
+    output, usually read back from a cell-partitioned table): exactly
+    :func:`cosine_topk_ivf` semantics, but corpus cell assignment is
+    never recomputed, and when the index source is partitioned by
+    ``cell`` the probed-cell filter prunes at the file level."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn(
+        "cell",
+        F.explode(ivf_query_cells(F.col("__qv"), dim, n_centroids, n_probe)),
+    )
+    scored = index.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("v"), F.col("__qv")).alias("cosine"),
+    )
+    return _ranked_topk(scored, k, partial_topk)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
