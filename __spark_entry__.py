@@ -2839,6 +2839,54 @@ GROUP BY source, token
 """
 
 
+def q_ngram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal from corpus self-statistics:
+    per-doc average add-1-smoothed bigram log-likelihood + perplexity.
+    Tokens folded to 101 buckets so counts are meaningful (same
+    convention as the histogram query)."""
+    from timeperiods_spark import ngram_logprob
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False).withColumn(
+        "tokens", F.transform("tokens", lambda x: x % 101)
+    )
+    out = ngram_logprob(t, "doc_id", "tokens", n=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_scored", "avg_logp", "ppl",
+    )
+
+
+SQL_NGRAM_LOGPROB = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+t AS (SELECT doc_id, list_transform(tokens, x -> x % 101) AS toks FROM tok),
+dg AS (
+  SELECT doc_id, list_slice(toks, i, i + 1) AS g, list_slice(toks, i, i) AS p
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+cn AS (SELECT g, COUNT(*) AS c FROM dg GROUP BY g),
+cp AS (
+  SELECT list_slice(toks, i, i) AS p, COUNT(*) AS c
+  FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM t WHERE len(toks) >= 1)
+  GROUP BY p
+),
+v AS (SELECT COUNT(DISTINCT x) AS vs FROM (SELECT unnest(toks) AS x FROM t)),
+scored AS (
+  SELECT dg.doc_id,
+         ln((cn.c + 1.0) / (cp.c + 1.0 * v.vs)) AS lp
+  FROM dg JOIN cn ON dg.g = cn.g JOIN cp ON dg.p = cp.p CROSS JOIN v
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_scored, AVG(lp) AS a
+        FROM scored GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(agg.n_scored, 0) AS BIGINT) AS n_scored,
+       ROUND(agg.a, 6) AS avg_logp,
+       ROUND(EXP(-agg.a), 6) AS ppl
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
 def q_topk_tokens(spark, sf_dir):
     """Exact per-source heavy hitters (two-phase rank: per-partition
     pre-top-k then the output-domain window)."""
@@ -3298,6 +3346,7 @@ _PIPELINE_QUERIES = {
     "seasonal_adjust_daily": q_seasonal_adjust,
     "tokenize_vocab_docs": q_tokenize,
     "cosine_topk_ivf_index": q_cosine_ivf_via_index,
+    "ngram_logprob_tokens": q_ngram_logprob,
 }
 
 _PIPELINE_ORACLES = {
@@ -3340,4 +3389,5 @@ _PIPELINE_ORACLES = {
     "seasonal_adjust_daily": SQL_SEASONAL_ADJUST,
     "tokenize_vocab_docs": SQL_TOKENIZE,
     "cosine_topk_ivf_index": SQL_COSINE_IVF,
+    "ngram_logprob_tokens": SQL_NGRAM_LOGPROB,
 }

@@ -213,3 +213,44 @@ def test_pack_duplicate_order_values_deterministic(spark):
     # and the tie order is ascending doc_id: the stream is 0,0,0,0,0,1,...
     flat = [t for _, toks in a for t in toks]
     assert flat == sorted(flat)
+
+
+def test_ngram_logprob_matches_slow_reference(spark):
+    """Add-k bigram self-likelihood vs a dict-based reference."""
+    import math
+    from collections import Counter
+
+    from timeperiods_spark import ngram_logprob
+
+    seqs = {0: [1, 2, 3, 1, 2], 1: [2, 3, 2, 3, 9], 2: [7], 3: []}
+    df = spark.createDataFrame(
+        [(i, s) for i, s in seqs.items()], "doc_id long, tokens array<int>"
+    )
+    cn, cp = Counter(), Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 1):
+            cn[(s[i], s[i + 1])] += 1
+        for t in s:
+            cp[t] += 1
+    V = len({t for s in seqs.values() for t in s})
+    out = {r["doc_id"]: r for r in
+           ngram_logprob(df, "doc_id", "tokens", n=2, k_smooth=1.0).collect()}
+    for d, s in seqs.items():
+        if len(s) < 2:
+            assert out[d]["n_scored"] == 0 and out[d]["avg_logp"] is None
+            continue
+        lps = [math.log((cn[(s[i], s[i + 1])] + 1.0) / (cp[s[i]] + V))
+               for i in range(len(s) - 1)]
+        want = sum(lps) / len(lps)
+        assert out[d]["n_scored"] == len(s) - 1
+        assert out[d]["avg_logp"] == round(want, 6)
+        assert out[d]["ppl"] == round(math.exp(-want), 6)
+    # vocab_size pin skips the distinct subtree but changes the score
+    pinned = ngram_logprob(df, "doc_id", "tokens", n=2, vocab_size=1000)
+    r0 = {r["doc_id"]: r["avg_logp"] for r in pinned.collect()}
+    assert r0[0] < out[0]["avg_logp"]  # larger V -> lower prob
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ngram_logprob(df, "doc_id", "tokens", n=1)
+    with _pt.raises(ValueError):
+        ngram_logprob(df, "doc_id", "tokens", n=2, k_smooth=0.0)

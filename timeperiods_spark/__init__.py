@@ -60,6 +60,7 @@ from .operators.anomaly import seasonal_adjust, zscore_anomaly
 from .operators.trend import cusum, ewma, holt
 from .operators.tokenstats import (
     ngram_contamination,
+    ngram_logprob,
     ngram_repetition,
     token_histogram,
     token_ngram_counts,
@@ -158,6 +159,7 @@ __all__ = [
     "token_ngram_counts",
     "topk_per_group",
     "ngram_contamination",
+    "ngram_logprob",
     "ngram_repetition",
     "hash_sample",
     "hash_sample_n",

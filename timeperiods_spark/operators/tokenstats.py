@@ -74,6 +74,87 @@ def token_ngram_counts(
     )
 
 
+def ngram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    n: int = 3,
+    k_smooth: float = 1.0,
+    vocab_size: Optional[int] = None,
+) -> DataFrame:
+    """Per-document n-gram log-likelihood under the corpus's OWN
+    n-gram statistics with add-k smoothing — the CCNet-style LM
+    quality signal without an external model:
+
+    ``logp(pos) = ln((c_n(gram) + k) / (c_{n-1}(prefix) + k*V))``
+
+    averaged over the document's windows; ``ppl = exp(-avg_logp)``.
+    Low-perplexity docs are corpus-typical, high-perplexity docs are
+    outliers (or rich novel text — this is a SIGNAL, thresholding is
+    the caller's policy). Output: ``id_col, n_scored, avg_logp, ppl``
+    (6dp); documents shorter than ``n`` tokens keep NULL scores.
+
+    Scale shape: two corpus-count aggregates (n-grams, prefixes),
+    joined back to the per-doc gram explode on the gram key — three
+    hash exchanges, all keyed by gram/prefix, no window, no Python.
+    ``V`` defaults to the corpus's exact distinct-token count (one
+    in-plan 1-row aggregate, broadcast); pass ``vocab_size`` to pin
+    it (and skip that subtree) when the tokenizer vocab is known.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (the prefix is n-1 tokens)")
+    if k_smooth <= 0:
+        raise ValueError("k_smooth must be positive (unsmoothed zero "
+                         "counts cannot occur — grams come from the "
+                         "corpus itself — but k also sizes V's weight)")
+    toks = F.col(tokens_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                F.slice(toks, i, n).alias("g"),
+                F.slice(toks, i, n - 1).alias("p"),
+            ),
+        ),
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"), F.explode(grams).alias("__gp")
+    ).select("__id", F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
+
+    cn = token_ngram_counts(df, tokens_col, n=n).select(
+        F.col("ngram").alias("__g"), F.col("count").alias("__cn")
+    )
+    cp = token_ngram_counts(df, tokens_col, n=n - 1).select(
+        F.col("ngram").alias("__p"), F.col("count").alias("__cp")
+    )
+    scored = doc_grams.join(cn, "__g").join(cp, "__p")
+    if vocab_size is None:
+        # explode then count-distinct (explode is not legal inside agg)
+        vdf = (
+            df.select(F.explode(toks).alias("__t"))
+            .agg(F.count_distinct("__t").alias("__V"))
+        )
+        scored = scored.crossJoin(F.broadcast(vdf))
+        V = F.col("__V").cast("double")
+    else:
+        V = F.lit(float(int(vocab_size)))
+    k = F.lit(float(k_smooth))
+    logp = F.log((F.col("__cn") + k) / (F.col("__cp") + k * V))
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.avg(logp).alias("__avg"),
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_scored"), F.lit(0).cast("long")).alias("n_scored"),
+        F.round("__avg", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
+    )
+
+
 def ngram_contamination(
     test: DataFrame,
     train: DataFrame,
