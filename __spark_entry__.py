@@ -2611,6 +2611,44 @@ def q_cosine_ivf_via_index(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher Appendix-A quality rules over documents (thresholds
+    lowered to fit the short synthetic docs so both branches of every
+    rule are exercised)."""
+    from timeperiods_spark import gopher_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    out = gopher_quality(
+        docs, "text", min_words=40, min_stopword_hits=1,
+        min_mean_word_len=3.0, max_mean_word_len=6.0,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
+        "stopword_ok", "gopher_keep",
+    )
+
+
+def _gopher_sql():
+    from timeperiods_spark.operators.textops import gopher_quality_sql
+
+    r = gopher_quality_sql("text", dict(
+        min_words=40, min_stopword_hits=1,
+        min_mean_word_len=3.0, max_mean_word_len=6.0,
+    ))
+    keep = " AND ".join(r.values())
+    cols = ",\n       ".join(f"{v} AS {k}" for k, v in r.items())
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cols},
+       ({keep}) AS gopher_keep
+FROM documents
+"""
+
+
+SQL_GOPHER_QUALITY = _gopher_sql()
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + scrub over the documents table. The synthetic
     corpus carries no organic emails/IPs, so the query PLANTS
@@ -3347,6 +3385,7 @@ _PIPELINE_QUERIES = {
     "tokenize_vocab_docs": q_tokenize,
     "cosine_topk_ivf_index": q_cosine_ivf_via_index,
     "ngram_logprob_tokens": q_ngram_logprob,
+    "gopher_quality_docs": q_gopher_quality,
 }
 
 _PIPELINE_ORACLES = {
@@ -3390,4 +3429,5 @@ _PIPELINE_ORACLES = {
     "tokenize_vocab_docs": SQL_TOKENIZE,
     "cosine_topk_ivf_index": SQL_COSINE_IVF,
     "ngram_logprob_tokens": SQL_NGRAM_LOGPROB,
+    "gopher_quality_docs": SQL_GOPHER_QUALITY,
 }

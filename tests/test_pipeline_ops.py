@@ -820,3 +820,33 @@ def test_ivf_index_roundtrip_and_equality(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "")[:10**6] or \
         "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_gopher_quality_rules(spark):
+    from timeperiods_spark import gopher_quality
+
+    good = ("the quick brown fox and the lazy dog have been " * 8).strip()
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "too short to have fifty words"),       # words_ok fails
+        (2, good + " ##### " * 30),                 # symbol_ok fails
+        (3, ("1 2 3 4 5 " * 12).strip()),           # alpha + stopword fail
+        (4, None),                                  # NULL -> all fail
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in gopher_quality(
+        df, "text", min_words=40, min_mean_word_len=2.0,
+    ).collect()}
+    assert out[0]["gopher_keep"] is True
+    assert out[1]["words_ok"] is False and out[1]["gopher_keep"] is False
+    assert out[2]["symbol_ok"] is False
+    assert out[3]["alpha_ok"] is False and out[3]["stopword_ok"] is False
+    assert out[4]["gopher_keep"] is False and out[4]["words_ok"] is False
+    # every rule column is a non-null boolean
+    for r in out.values():
+        for c in ("words_ok", "word_len_ok", "symbol_ok",
+                  "alpha_ok", "stopword_ok", "gopher_keep"):
+            assert r[c] in (True, False)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        gopher_quality(df, "text", nonsense=1)

@@ -54,7 +54,7 @@ from .operators.distinct import (
     finalize_distinct,
 )
 from .operators.lines import dedup_lines, filter_lines
-from .operators.textops import scrub_pii
+from .operators.textops import gopher_quality, scrub_pii
 from .operators.tokenize import tokenize_vocab
 from .operators.anomaly import seasonal_adjust, zscore_anomaly
 from .operators.trend import cusum, ewma, holt
@@ -129,6 +129,7 @@ __all__ = [
     "duplicate_spans",
     "duplicate_span_stats",
     "scrub_pii",
+    "gopher_quality",
     "tokenize_vocab",
     "dedup_lines",
     "filter_lines",

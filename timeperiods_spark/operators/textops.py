@@ -232,3 +232,110 @@ def scrub_pii(df, text_col: str = "text", *, out_col=None, patterns=PII_PATTERNS
     return df.select(
         "*", *cols, scrub_text(F.col(text_col), patterns).alias(out_col)
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, Appendix A subset) -------
+#: default thresholds, published values
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    min_alpha_word_frac=0.8,
+    min_stopword_hits=2,
+)
+
+#: Gopher's stop-word presence list (the published eight)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df,
+    text_col: str = "text",
+    *,
+    keep_col: str = "gopher_keep",
+    **overrides,
+):
+    """Gopher-style document quality rules as one map-side projection:
+    adds a boolean per rule plus ``gopher_keep`` (all rules pass).
+
+    Rules (published thresholds; override via kwargs):
+    ``words_ok`` (word count in [min_words, max_words]),
+    ``word_len_ok`` (mean word length in [3, 10]),
+    ``symbol_ok`` (# and ellipsis per word < 0.1),
+    ``alpha_ok`` (>= 80% of words contain a letter),
+    ``stopword_ok`` (>= 2 hits from the 8-word presence list).
+
+    A SIGNAL, not a verdict: these rules were tuned for web English —
+    the flags exist so downstream sampling (``hash_sample(rate_col=)``)
+    can weight rather than hard-drop. NULL text fails every rule.
+    Zero shuffle; pushes into the scan."""
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"gopher_quality: unknown overrides {sorted(unknown)}")
+    p.update(overrides)
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = whitespace_token_count(t)
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / F.when(n_words > 0, n_words)
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    n_alpha_words = F.size(
+        F.regexp_extract_all(t, F.lit(r"(^|\s)[^\s]*[A-Za-z][^\s]*"), F.lit(0))
+    )
+    rules = {
+        "words_ok": (n_words >= p["min_words"]) & (n_words <= p["max_words"]),
+        "word_len_ok": (
+            (mean_wl >= p["min_mean_word_len"])
+            & (mean_wl <= p["max_mean_word_len"])
+        ),
+        "symbol_ok": F.when(
+            n_words > 0, n_symbols / n_words < p["max_symbol_word_ratio"]
+        ),
+        "alpha_ok": F.when(
+            n_words > 0, n_alpha_words / n_words >= p["min_alpha_word_frac"]
+        ),
+        "stopword_ok": stopword_count(t, GOPHER_STOPWORDS)
+        >= p["min_stopword_hits"],
+    }
+    cols = [F.coalesce(c, F.lit(False)).alias(name) for name, c in rules.items()]
+    keep = None
+    for name, c in rules.items():
+        cc = F.coalesce(c, F.lit(False))
+        keep = cc if keep is None else (keep & cc)
+    return df.select("*", *cols, keep.alias(keep_col))
+
+
+def gopher_quality_sql(expr: str, p: dict | None = None) -> dict:
+    """DuckDB twins of each rule predicate (keyed like the output
+    columns); compose with AND for the keep column."""
+    d = dict(GOPHER_DEFAULTS)
+    d.update(p or {})
+    t = f"COALESCE({expr}, '')"
+    n_words = whitespace_token_count_sql(t)
+    mean_wl = (
+        f"(length(regexp_replace({t}, '\\s+', '', 'g')) / "
+        f"(CASE WHEN {n_words} > 0 THEN {n_words} END))"
+    )
+    n_symbols = f"len(regexp_extract_all({t}, '#|\\.\\.\\.'))"
+    n_alpha = f"len(regexp_extract_all({t}, '(^|\\s)[^\\s]*[A-Za-z][^\\s]*'))"
+    rules = {
+        "words_ok": f"({n_words} >= {d['min_words']} AND {n_words} <= {d['max_words']})",
+        "word_len_ok": (
+            f"({mean_wl} >= {d['min_mean_word_len']} AND "
+            f"{mean_wl} <= {d['max_mean_word_len']})"
+        ),
+        "symbol_ok": (
+            f"(CASE WHEN {n_words} > 0 THEN "
+            f"{n_symbols} / CAST({n_words} AS DOUBLE) < {d['max_symbol_word_ratio']} END)"
+        ),
+        "alpha_ok": (
+            f"(CASE WHEN {n_words} > 0 THEN "
+            f"{n_alpha} / CAST({n_words} AS DOUBLE) >= {d['min_alpha_word_frac']} END)"
+        ),
+        "stopword_ok": (
+            f"({stopword_count_sql(t, GOPHER_STOPWORDS)} >= {d['min_stopword_hits']})"
+        ),
+    }
+    return {k: f"COALESCE({v}, FALSE)" for k, v in rules.items()}
