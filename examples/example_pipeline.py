@@ -13,7 +13,9 @@ scale.
     6. eval-set decontamination (8-gram overlap scrub) + vocab heavy
        hitters over the survivors;
     7. pack the clean token streams into fixed-length training windows
-       and prove the packing is lossless.
+       and prove the packing is lossless;
+    8. raw-text hygiene: Gopher rule flags -> PII scrub -> cross-corpus
+       line dedup -> quality-weighted hash sampling.
 
 Run: python examples/example_pipeline.py
 """
@@ -157,6 +159,38 @@ def main() -> None:
         print(f"[7] packing: {n_tok_in} tokens -> {n_win} windows of 2048 "
               f"({n_tok_out} tokens out)")
         assert n_tok_in == n_tok_out, "packing must be lossless"
+
+        # --- 8. text hygiene on raw docs: rules -> PII -> line dedup
+        #        -> quality-weighted sampling ---
+        from timeperiods_spark import (
+            dedup_lines,
+            gopher_quality,
+            hash_sample,
+            scrub_pii,
+        )
+
+        raw = spark.createDataFrame(
+            [(i,
+              ("the quick brown fox and the lazy dog have been seen " * 3)
+              + f"\ncommon footer {i % 2}\nmail user{i}@example.com")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        hygiene = scrub_pii(
+            gopher_quality(raw, "text", min_words=20), "text",
+        )
+        cleaned = dedup_lines(
+            hygiene.filter("gopher_keep").select("doc_id", "text_scrubbed"),
+            "doc_id", "text_scrubbed",
+        )
+        # quality-weighted keep-rate: rule passes -> higher rate
+        rated = hygiene.withColumn(
+            "rate", F.when(F.col("gopher_keep"), 0.9).otherwise(0.2)
+        )
+        sampled = hash_sample(rated, "doc_id", rate_col="rate", seed=7)
+        print(f"[8] hygiene: {cleaned.count()} docs after line dedup; "
+              f"{hygiene.filter('email_count > 0').count()} had PII "
+              f"(scrubbed); {sampled.count()} sampled by quality rate")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
