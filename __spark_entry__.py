@@ -2611,6 +2611,59 @@ def q_cosine_ivf_via_index(spark, sf_dir):
     )
 
 
+def q_overlap_join(spark, sf_dir):
+    """Public foverlaps surface: 3-day measurement intervals joined to
+    even-week target periods per event type, left-outer (unmatched
+    measurements keep NULL y columns — data.table nomatch=NA)."""
+    from timeperiods_spark import overlap_join
+
+    d = _daily_means(spark, sf_dir).select(
+        "event_type", F.unix_date("day").cast("long").alias("dl"), "v"
+    )
+    x = d.select("event_type", F.col("dl").alias("s"),
+                 (F.col("dl") + 2).alias("e"), "v")
+    y = d.select(
+        "event_type",
+        (F.floor(F.col("dl") / 7) * 7).cast("long").alias("s"),
+        (F.floor(F.col("dl") / 7) * 7 + 6).cast("long").alias("e"),
+    ).filter(F.pmod(F.floor(F.col("s") / 7), F.lit(2)) == 0).distinct()
+    out = overlap_join(x, y, ("s", "e"), ["event_type"], how="left")
+    return out.select(
+        "event_type", "s_x", "e_x", "s_y", "e_y", "v",
+        "overlap_start", "overlap_end", "overlap_duration",
+    )
+
+
+SQL_OVERLAP_JOIN = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+d2 AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dl, v
+  FROM daily
+),
+x AS (SELECT event_type, dl AS s, dl + 2 AS e, v FROM d2),
+y AS (
+  SELECT DISTINCT event_type,
+         CAST(FLOOR(dl / 7) * 7 AS BIGINT) AS ys,
+         CAST(FLOOR(dl / 7) * 7 + 6 AS BIGINT) AS ye
+  FROM d2
+  WHERE CAST(FLOOR(dl / 7) AS BIGINT) % 2 = 0
+)
+SELECT x.event_type,
+       x.s AS s_x, x.e AS e_x, y.ys AS s_y, y.ye AS e_y, x.v,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE GREATEST(x.s, y.ys) END AS overlap_start,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE LEAST(x.e, y.ye) END AS overlap_end,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE CAST(LEAST(x.e, y.ye) - GREATEST(x.s, y.ys) + 1 AS BIGINT)
+       END AS overlap_duration
+FROM x LEFT JOIN y
+  ON x.event_type IS NOT DISTINCT FROM y.event_type
+ AND x.s <= y.ye AND x.e >= y.ys
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher Appendix-A quality rules over documents (thresholds
     lowered to fit the short synthetic docs so both branches of every
@@ -3386,6 +3439,7 @@ _PIPELINE_QUERIES = {
     "cosine_topk_ivf_index": q_cosine_ivf_via_index,
     "ngram_logprob_tokens": q_ngram_logprob,
     "gopher_quality_docs": q_gopher_quality,
+    "overlap_join_weeks": q_overlap_join,
 }
 
 _PIPELINE_ORACLES = {
@@ -3430,4 +3484,5 @@ _PIPELINE_ORACLES = {
     "cosine_topk_ivf_index": SQL_COSINE_IVF,
     "ngram_logprob_tokens": SQL_NGRAM_LOGPROB,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
+    "overlap_join_weeks": SQL_OVERLAP_JOIN,
 }

@@ -470,3 +470,58 @@ def test_running_max_string_order_grouped_ok_ungrouped_raises(spark):
     assert rows == {("g1", "a"): 3, ("g1", "b"): 3, ("g2", "a"): 5, ("g2", "b"): 5}
     with pytest.raises(RoleValidationError, match="non-bucketable"):
         running_max(df, "v", ["o"])
+
+
+def test_overlap_join_inner_and_left(spark):
+    """Public foverlaps: pair multiset vs brute force, clipping,
+    suffixing, NULL-group join, left completion, strategy equality."""
+    import datetime
+
+    from timeperiods_spark import overlap_join
+
+    x_rows = [("a", 1, 5, 10.0), ("a", 8, 9, 20.0), (None, 0, 3, 30.0),
+              ("b", 100, 110, 40.0)]
+    y_rows = [("a", 4, 8, "p1"), ("a", 20, 25, "p2"), (None, 2, 2, "p3")]
+    x = spark.createDataFrame(x_rows, "g string, s int, e int, v double")
+    y = spark.createDataFrame(y_rows, "g string, s int, e int, tag string")
+
+    brute = set()
+    for gx, xs, xe, v in x_rows:
+        for gy, ys, ye, tag in y_rows:
+            if gx == gy and xs <= ye and xe >= ys:
+                brute.add((gx, xs, xe, ys, ye, v, tag,
+                           max(xs, ys), min(xe, ye),
+                           min(xe, ye) - max(xs, ys) + 1))
+    for strat in ("group_equi", "bin"):
+        got = {
+            (r["g"], r["s_x"], r["e_x"], r["s_y"], r["e_y"], r["v"],
+             r["tag"], r["overlap_start"], r["overlap_end"],
+             r["overlap_duration"])
+            for r in overlap_join(x, y, ("s", "e"), ["g"],
+                                  join_strategy=strat).collect()
+        }
+        assert got == brute, strat
+    # left: unmatched x rows kept with NULL y side
+    left = overlap_join(x, y, ("s", "e"), ["g"], how="left").collect()
+    assert len(left) == len(brute) + 1  # only (b,100,110) is unmatched
+    nulls = [r for r in left if r["s_y"] is None]
+    assert {(r["g"], r["s_x"]) for r in nulls} == {("b", 100)}
+    for r in nulls:
+        assert r["tag"] is None and r["overlap_duration"] is None
+
+    # date intervals round-trip; colliding payload names get suffixes
+    d0 = datetime.date(2024, 1, 1)
+    xd = spark.createDataFrame(
+        [(d0, d0 + datetime.timedelta(days=4), "xx")],
+        "s date, e date, tag string",
+    )
+    yd = spark.createDataFrame(
+        [(d0 + datetime.timedelta(days=2), d0 + datetime.timedelta(days=9),
+          "yy")],
+        "s date, e date, tag string",
+    )
+    r = overlap_join(xd, yd, ("s", "e")).collect()[0]
+    assert r["tag_x"] == "xx" and r["tag_y"] == "yy"
+    assert r["overlap_start"] == d0 + datetime.timedelta(days=2)
+    assert r["overlap_end"] == d0 + datetime.timedelta(days=4)
+    assert r["overlap_duration"] == 3

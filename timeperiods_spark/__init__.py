@@ -90,13 +90,19 @@ from .sources.tokens import token_table
 from .streaming.continuous import ingest_batch
 from .operators.interval_avg import RESERVED_OUTPUT_NAMES, interval_weighted_avg
 from .operators.interval_avg_slow import interval_weighted_avg_slow
-from .operators.overlaps import check_no_overlaps, remove_overlaps, running_max
+from .operators.overlaps import (
+    check_no_overlaps,
+    overlap_join,
+    remove_overlaps,
+    running_max,
+)
 from .session import get_spark
 
 __all__ = [
     "interval_weighted_avg",
     "interval_weighted_avg_slow",
     "remove_overlaps",
+    "overlap_join",
     "check_no_overlaps",
     "running_max",
     "grouped_cartesian",

@@ -336,3 +336,130 @@ def running_max(
     return stitched.withColumn(
         out_name, F.greatest(F.max(col).over(w), F.col("__carry_max"))
     ).drop("__bk", grid_t, "__carry_max")
+
+
+def overlap_join(
+    x: DataFrame,
+    y: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Optional[Sequence[str]] = None,
+    *,
+    how: str = "inner",
+    join_strategy: str = "auto",
+    bin_width: Optional[int] = None,
+    skew_salt: Optional[int] = None,
+    join_stats: Optional[tuple] = None,
+    suffixes: tuple = ("_x", "_y"),
+) -> DataFrame:
+    """The reference's ``foverlaps`` as a public operator: one row per
+    (x row, y row) pair whose CLOSED intervals overlap within equal
+    (null-safe) group keys — reference timeperiod_functions.R:239-240
+    semantics, exposed directly instead of only inside the rollup.
+
+    Payload columns from both sides carry through (name collisions get
+    ``suffixes``); the interval columns come back as
+    ``<start><suffixes[0]>``/... per side plus ``overlap_start``,
+    ``overlap_end``, ``overlap_duration`` (closed-grid clip, in the
+    interval columns' own type for dates). ``how="left"`` keeps
+    unmatched x rows with NULL y columns (data.table's ``nomatch=NA``).
+
+    Physical strategy is the same four-way plan the rollup uses
+    (`group_equi` / broadcasts / bucketized `bin` / data-aware
+    ``auto``) — a pure theta join would run as a nested loop.
+    """
+    group_vars = list(group_vars or [])
+    if how not in ("inner", "left"):
+        raise RoleValidationError("how must be 'inner' or 'left'")
+    for side, df in (("x", x), ("y", y)):
+        missing = [c for c in (*interval_vars, *group_vars)
+                   if c not in df.columns]
+        if missing:
+            raise RoleValidationError(f"{side} is missing columns {missing}")
+    s_col, e_col = interval_vars
+    xf = {f.name: f.dataType for f in x.schema.fields}
+    yf = {f.name: f.dataType for f in y.schema.fields}
+    dtype = xf[s_col]
+
+    n_g = len(group_vars)
+    gcols = [f"__g{i}" for i in range(n_g)]
+    ygcols = [f"__yg{i}" for i in range(n_g)]
+    x_pay = [c for c in x.columns if c not in (*interval_vars, *group_vars)]
+    y_pay = [c for c in y.columns if c not in (*interval_vars, *group_vars)]
+
+    xw = x.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, gcols)],
+        _grid(s_col, xf[s_col]).alias("__xs"),
+        _grid(e_col, xf[e_col]).alias("__xe"),
+        *[F.col(c).alias(f"__xp{i}") for i, c in enumerate(x_pay)],
+    )
+    yw = y.select(
+        *[F.col(g).alias(gc) for g, gc in zip(group_vars, ygcols)],
+        _grid(s_col, yf[s_col]).alias("__ys"),
+        _grid(e_col, yf[e_col]).alias("__ye"),
+        *[F.col(c).alias(f"__yp{i}") for i, c in enumerate(y_pay)],
+    )
+    pairs = build_overlap_pairs(
+        xw, yw, n_g,
+        strategy=join_strategy, bin_width=bin_width,
+        skew_salt=skew_salt, auto_stats=join_stats,
+    )
+
+    def _out_name(c: str, taken: set, suffix: str) -> str:
+        return c + suffix if c in taken else c
+
+    x_names = {*x_pay, *group_vars}
+    y_names = {*y_pay}
+    sx, sy = suffixes
+    # interval columns always suffixed per side (they collide by
+    # construction)
+    cols = [
+        *[F.col(gc).alias(g) for g, gc in zip(group_vars, ygcols)],
+        _ungrid(F.col("__xs"), dtype).alias(f"{s_col}{sx}"),
+        _ungrid(F.col("__xe"), dtype).alias(f"{e_col}{sx}"),
+        _ungrid(F.col("__ys"), dtype).alias(f"{s_col}{sy}"),
+        _ungrid(F.col("__ye"), dtype).alias(f"{e_col}{sy}"),
+        *[
+            F.col(f"__xp{i}").alias(_out_name(c, y_names, sx))
+            for i, c in enumerate(x_pay)
+        ],
+        *[
+            F.col(f"__yp{i}").alias(_out_name(c, x_names, sy))
+            for i, c in enumerate(y_pay)
+        ],
+        _ungrid(F.greatest("__xs", "__ys"), dtype).alias("overlap_start"),
+        _ungrid(F.least("__xe", "__ye"), dtype).alias("overlap_end"),
+        (F.least("__xe", "__ye") - F.greatest("__xs", "__ys") + F.lit(1))
+        .cast("long").alias("overlap_duration"),
+    ]
+    out = pairs.select(*cols)
+    if how == "inner":
+        return out
+
+    # left: restore unmatched x rows with NULL y-side columns via an
+    # anti join on the x identity (group keys + interval + payload are
+    # the identity; the rollup forbids exact-duplicate x rows, same
+    # contract here)
+    matched_x = out.select(
+        *group_vars,
+        F.col(f"{s_col}{sx}").alias(s_col),
+        F.col(f"{e_col}{sx}").alias(e_col),
+    ).dropDuplicates()
+    cond = (x[s_col] == matched_x[s_col]) & (x[e_col] == matched_x[e_col])
+    for g in group_vars:
+        cond = cond & x[g].eqNullSafe(matched_x[g])
+    unmatched = x.join(matched_x, cond, "left_anti").select(
+        *group_vars,
+        F.col(s_col).alias(f"{s_col}{sx}"),
+        F.col(e_col).alias(f"{e_col}{sx}"),
+        F.lit(None).cast(dtype).alias(f"{s_col}{sy}"),
+        F.lit(None).cast(dtype).alias(f"{e_col}{sy}"),
+        *[F.col(c).alias(_out_name(c, y_names, sx)) for c in x_pay],
+        *[
+            F.lit(None).cast(yf[c]).alias(_out_name(c, x_names, sy))
+            for c in y_pay
+        ],
+        F.lit(None).cast(dtype).alias("overlap_start"),
+        F.lit(None).cast(dtype).alias("overlap_end"),
+        F.lit(None).cast("long").alias("overlap_duration"),
+    )
+    return out.unionByName(unmatched)

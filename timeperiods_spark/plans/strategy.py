@@ -132,6 +132,12 @@ def build_overlap_pairs(
     overlap = (F.col("__xs") <= F.col("__ye")) & (F.col("__xe") >= F.col("__ys"))
     ygcols = [f"__yg{i}" for i in range(n_groups)]
     x_payload = [c for c in xw.columns if not c.startswith("__g")]
+    # y-side payload beyond (group keys, __ys, __ye) carries through —
+    # empty for the rollup callers, populated by overlap_join
+    y_payload = [
+        c for c in yw.columns
+        if not c.startswith("__yg") and c not in ("__ys", "__ye")
+    ]
 
     if strategy == "auto":
         if not n_groups:
@@ -172,7 +178,7 @@ def build_overlap_pairs(
         gc = _group_cond(n_groups)
         cond = overlap if gc is None else (gc & overlap)
         pairs = left.join(right, cond, "inner")
-        return pairs.select(*ygcols, *x_payload, "__ys", "__ye")
+        return pairs.select(*ygcols, *x_payload, "__ys", "__ye", *y_payload)
 
     if strategy == "bin":
         w = bin_width or estimate_bin_width(xw, yw)
@@ -212,6 +218,6 @@ def build_overlap_pairs(
         if gc is not None:
             cond = gc & cond
         pairs = ybin.join(xbin, cond, "inner")
-        return pairs.select(*ygcols, *x_payload, "__ys", "__ye")
+        return pairs.select(*ygcols, *x_payload, "__ys", "__ye", *y_payload)
 
     raise ValueError(f"unknown join strategy: {strategy!r}")
