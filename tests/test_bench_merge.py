@@ -95,6 +95,9 @@ def test_merge_headline_state(tmp_path, monkeypatch):
     ]
     state.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
     monkeypatch.setenv("SPARK_GRAFT_HEADLINE_STATE", str(state))
+    # isolate the repo-committed snapshot too (a REAL hunter pass
+    # committed as HEADLINE_HUNT.jsonl would otherwise merge here)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
 
     all_times = {"remove_overlaps": [9.2], "minhash_dedup": [6.0]}
     all_probes = {"remove_overlaps": [[0.9, 0.9]], "minhash_dedup": [[0.9, 0.9]]}
