@@ -1081,6 +1081,47 @@ FROM q ASOF LEFT JOIN obs o ON q.g = o.og AND q.t >= o.ot
 """
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a max-staleness window (tolerance=50):
+    matches older than t-50 are masked to NULL. Oracle = bounded
+    GROUP BY arg-max (obs times are unique event ids, so no ties)."""
+    from timeperiods_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 7).cast("int").alias("g"),
+        F.col("event_id").alias("t"),
+        F.col("value").alias("v"),
+    )
+    q = obs.select("g").distinct().crossJoin(
+        spark.range(200).select((F.col("id") * 37).cast("long").alias("t"))
+    )
+    out = asof_join(q, obs, "t", ["v"], ["g"], tolerance=50)
+    return out.select(
+        "g",
+        F.col("t").cast("long").alias("t"),
+        F.round("v", _R).alias("v"),
+        F.col("asof_t").cast("long").alias("asof_t"),
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+WITH obs AS (
+  SELECT CAST(user_id % 7 AS INT) AS og, event_id AS ot, value AS v FROM events
+),
+q AS (
+  SELECT g, CAST(37*p AS BIGINT) AS t
+  FROM (SELECT DISTINCT CAST(user_id % 7 AS INT) AS g FROM events)
+  CROSS JOIN (SELECT range AS p FROM range(200))
+)
+SELECT q.g, q.t, ROUND(MAX_BY(o.v, o.ot), 6) AS v, MAX(o.ot) AS asof_t
+FROM q LEFT JOIN obs o
+  ON q.g IS NOT DISTINCT FROM o.og
+ AND o.ot <= q.t AND o.ot >= q.t - 50
+GROUP BY q.g, q.t
+"""
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of join (earliest observation at or after each query
     time) — DuckDB ASOF only supports the backward inequality, so the
@@ -3440,6 +3481,7 @@ _PIPELINE_QUERIES = {
     "ngram_logprob_tokens": q_ngram_logprob,
     "gopher_quality_docs": q_gopher_quality,
     "overlap_join_weeks": q_overlap_join,
+    "asof_events_tolerance": q_asof_tolerance,
 }
 
 _PIPELINE_ORACLES = {
@@ -3485,4 +3527,5 @@ _PIPELINE_ORACLES = {
     "ngram_logprob_tokens": SQL_NGRAM_LOGPROB,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "overlap_join_weeks": SQL_OVERLAP_JOIN,
+    "asof_events_tolerance": SQL_ASOF_TOLERANCE,
 }
