@@ -3019,6 +3019,51 @@ FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-5 characteristic tokens per doc by smoothed TF-IDF (the
+    sklearn formula); rank on the ROUNDED score with token-id
+    tie-break so both engines order identically."""
+    from timeperiods_spark import tfidf_topk
+
+    t = token_table(spark, N_TOKEN_DOCS, with_interval=False).withColumn(
+        "tokens", F.transform("tokens", lambda x: x % 101)
+    )
+    out = tfidf_topk(t, "doc_id", "tokens", k=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("token").cast("long").alias("token"),
+        "tf", "idf", "tfidf", "rank",
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS ({token_table_oracle_sql(N_TOKEN_DOCS)}),
+t AS (SELECT doc_id, list_transform(tokens, x -> x % 101) AS toks FROM tok),
+b AS (SELECT doc_id, unnest(toks) AS tkn FROM t),
+pd AS (SELECT doc_id, tkn, COUNT(*) AS c FROM b GROUP BY doc_id, tkn),
+dl AS (SELECT doc_id, SUM(c) AS len FROM pd GROUP BY doc_id),
+dfreq AS (SELECT tkn, CAST(COUNT(*) AS DOUBLE) AS dfc FROM pd GROUP BY tkn),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS N FROM t),
+s AS (
+  SELECT pd.doc_id, pd.tkn,
+         pd.c / CAST(dl.len AS DOUBLE) AS tf,
+         ln((nn.N + 1.0) / (dfreq.dfc + 1.0)) + 1.0 AS idf,
+         ROUND(pd.c / CAST(dl.len AS DOUBLE)
+               * (ln((nn.N + 1.0) / (dfreq.dfc + 1.0)) + 1.0), 6) AS tfidf
+  FROM pd JOIN dl USING (doc_id) JOIN dfreq ON pd.tkn = dfreq.tkn CROSS JOIN nn
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tkn) AS rnk
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(tkn AS BIGINT) AS token,
+       ROUND(tf, 6) AS tf, ROUND(idf, 6) AS idf, tfidf,
+       CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
+"""
+
+
 def q_topk_tokens(spark, sf_dir):
     """Exact per-source heavy hitters (two-phase rank: per-partition
     pre-top-k then the output-domain window)."""
@@ -3482,6 +3527,7 @@ _PIPELINE_QUERIES = {
     "gopher_quality_docs": q_gopher_quality,
     "overlap_join_weeks": q_overlap_join,
     "asof_events_tolerance": q_asof_tolerance,
+    "tfidf_topk_tokens": q_tfidf,
 }
 
 _PIPELINE_ORACLES = {
@@ -3528,4 +3574,5 @@ _PIPELINE_ORACLES = {
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "overlap_join_weeks": SQL_OVERLAP_JOIN,
     "asof_events_tolerance": SQL_ASOF_TOLERANCE,
+    "tfidf_topk_tokens": SQL_TFIDF,
 }

@@ -254,3 +254,37 @@ def test_ngram_logprob_matches_slow_reference(spark):
         ngram_logprob(df, "doc_id", "tokens", n=1)
     with _pt.raises(ValueError):
         ngram_logprob(df, "doc_id", "tokens", n=2, k_smooth=0.0)
+
+
+def test_tfidf_topk_matches_slow_reference(spark):
+    import math
+    from collections import Counter
+
+    from timeperiods_spark import tfidf_topk
+
+    seqs = {0: [1, 1, 2, 3], 1: [1, 4, 4, 4], 2: [2, 2, 5]}
+    df = spark.createDataFrame(
+        [(i, s) for i, s in seqs.items()], "doc_id long, tokens array<int>"
+    )
+    dfreq = Counter(t for s in seqs.values() for t in set(s))
+    N = len(seqs)
+    out = tfidf_topk(df, "doc_id", "tokens", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, s in seqs.items():
+        cnt = Counter(s)
+        scored = sorted(
+            (
+                (-round((c / len(s)) * (math.log((N + 1) / (dfreq[t] + 1)) + 1), 6), t)
+                for t, c in cnt.items()
+            )
+        )[:2]
+        got = sorted(by_doc[d], key=lambda r: r["rank"])
+        assert [r["token"] for r in got] == [t for _, t in scored], d
+        for r, (neg, t) in zip(got, scored):
+            assert r["tfidf"] == -neg
+        assert [r["rank"] for r in got] == [1, 2]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tfidf_topk(df, "doc_id", "tokens", k=0)

@@ -62,6 +62,7 @@ from .operators.tokenstats import (
     ngram_contamination,
     ngram_logprob,
     ngram_repetition,
+    tfidf_topk,
     token_histogram,
     token_ngram_counts,
     topk_per_group,
@@ -168,6 +169,7 @@ __all__ = [
     "ngram_contamination",
     "ngram_logprob",
     "ngram_repetition",
+    "tfidf_topk",
     "hash_sample",
     "hash_sample_n",
     "source_mix",

@@ -155,6 +155,70 @@ def ngram_logprob(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` most characteristic tokens per document by smoothed
+    TF-IDF: ``tf = count_in_doc / doc_len``,
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (sklearn's smooth variant —
+    public formula), ranked per document (ties break by token id
+    ascending, deterministic). Output: ``id_col, token, tf, idf,
+    tfidf, rank`` — the keyword/summary signal for corpus exploration
+    and near-dup triage.
+
+    Scale shape: one hash agg per (doc, token), one per token (the
+    document-frequency table), one 1-row N aggregate broadcast back,
+    and a rank window partitioned by DOCUMENT — the output domain, so
+    parallelism scales with corpus size. No Python anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.col(tokens_col)
+    base = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__t")
+    )
+    per_doc = base.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    doc_len = per_doc.groupBy("__id").agg(F.sum("__c").alias("__len"))
+    dfreq = per_doc.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__N")
+    )
+    scored = (
+        per_doc.join(doc_len, "__id")
+        .join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__tf", F.col("__c") / F.col("__len"))
+        .withColumn(
+            "__idf",
+            F.log((F.col("__N") + 1.0) / (F.col("__df") + 1.0)) + 1.0,
+        )
+        .withColumn("__tfidf", F.round(F.col("__tf") * F.col("__idf"), 6))
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__tfidf").desc(), F.col("__t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__t").alias("token"),
+            F.round("__tf", 6).alias("tf"),
+            F.round("__idf", 6).alias("idf"),
+            F.col("__tfidf").alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ngram_contamination(
     test: DataFrame,
     train: DataFrame,
