@@ -2719,7 +2719,7 @@ def q_gopher_quality(spark, sf_dir):
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
-        "stopword_ok", "gopher_keep",
+        "stopword_ok", "bullet_ok", "ellipsis_ok", "gopher_keep",
     )
 
 

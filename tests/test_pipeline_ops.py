@@ -844,9 +844,25 @@ def test_gopher_quality_rules(spark):
     assert out[4]["gopher_keep"] is False and out[4]["words_ok"] is False
     # every rule column is a non-null boolean
     for r in out.values():
-        for c in ("words_ok", "word_len_ok", "symbol_ok",
-                  "alpha_ok", "stopword_ok", "gopher_keep"):
+        for c in ("words_ok", "word_len_ok", "symbol_ok", "alpha_ok",
+                  "stopword_ok", "bullet_ok", "ellipsis_ok",
+                  "gopher_keep"):
             assert r[c] in (True, False)
+    # line-level rules: bullet-heavy and ellipsis-heavy docs flagged
+    ldf = spark.createDataFrame(
+        [(0, "* one\n* two\n* three\nplain"),
+         (1, "trailing...\nlines...\nhere...\nokay"),
+         (2, "regular\nlines\nhere")],
+        "id int, text string",
+    )
+    lout = {r["id"]: r for r in gopher_quality(ldf, "text").collect()}
+    assert lout[0]["bullet_ok"] is True   # 3/4 = 0.75 < 0.9
+    assert lout[1]["ellipsis_ok"] is False  # 3/4 = 0.75 >= 0.3
+    assert lout[2]["bullet_ok"] is True and lout[2]["ellipsis_ok"] is True
+    all_bullets = spark.createDataFrame(
+        [(0, "* a\n- b\n\u2022 c")], "id int, text string"
+    )
+    assert gopher_quality(all_bullets, "text").collect()[0]["bullet_ok"] is False
     import pytest as _pt
     with _pt.raises(ValueError):
         gopher_quality(df, "text", nonsense=1)

@@ -244,6 +244,8 @@ GOPHER_DEFAULTS = dict(
     max_symbol_word_ratio=0.1,
     min_alpha_word_frac=0.8,
     min_stopword_hits=2,
+    max_bullet_line_frac=0.9,
+    max_ellipsis_line_frac=0.3,
 )
 
 #: Gopher's stop-word presence list (the published eight)
@@ -265,7 +267,9 @@ def gopher_quality(
     ``word_len_ok`` (mean word length in [3, 10]),
     ``symbol_ok`` (# and ellipsis per word < 0.1),
     ``alpha_ok`` (>= 80% of words contain a letter),
-    ``stopword_ok`` (>= 2 hits from the 8-word presence list).
+    ``stopword_ok`` (>= 2 hits from the 8-word presence list),
+    ``bullet_ok`` (< 90% of lines start with a bullet glyph),
+    ``ellipsis_ok`` (< 30% of lines end with an ellipsis).
 
     A SIGNAL, not a verdict: these rules were tuned for web English —
     the flags exist so downstream sampling (``hash_sample(rate_col=)``)
@@ -284,6 +288,15 @@ def gopher_quality(
     n_alpha_words = F.size(
         F.regexp_extract_all(t, F.lit(r"(^|\s)[^\s]*[A-Za-z][^\s]*"), F.lit(0))
     )
+    lines = F.split(t, F.lit("\n"), -1)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^([*\-\u2022\u2023\u25aa])")
+    ))
+    ellipsis_lines = F.size(F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"(\.\.\.|\u2026)$"),
+    ))
     rules = {
         "words_ok": (n_words >= p["min_words"]) & (n_words <= p["max_words"]),
         "word_len_ok": (
@@ -298,6 +311,14 @@ def gopher_quality(
         ),
         "stopword_ok": stopword_count(t, GOPHER_STOPWORDS)
         >= p["min_stopword_hits"],
+        "bullet_ok": F.when(
+            n_lines > 0,
+            bullet_lines / n_lines < p["max_bullet_line_frac"],
+        ),
+        "ellipsis_ok": F.when(
+            n_lines > 0,
+            ellipsis_lines / n_lines < p["max_ellipsis_line_frac"],
+        ),
     }
     cols = [F.coalesce(c, F.lit(False)).alias(name) for name, c in rules.items()]
     keep = None
@@ -320,6 +341,16 @@ def gopher_quality_sql(expr: str, p: dict | None = None) -> dict:
     )
     n_symbols = f"len(regexp_extract_all({t}, '#|\\.\\.\\.'))"
     n_alpha = f"len(regexp_extract_all({t}, '(^|\\s)[^\\s]*[A-Za-z][^\\s]*'))"
+    lines = f"string_split({t}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (
+        f"len(list_filter({lines}, x -> "
+        "regexp_matches(trim(x), '^([*\\-•‣▪])')))"
+    )
+    n_ellip = (
+        f"len(list_filter({lines}, x -> "
+        "regexp_matches(trim(x), '(\\.\\.\\.|…)$')))"
+    )
     rules = {
         "words_ok": f"({n_words} >= {d['min_words']} AND {n_words} <= {d['max_words']})",
         "word_len_ok": (
@@ -336,6 +367,14 @@ def gopher_quality_sql(expr: str, p: dict | None = None) -> dict:
         ),
         "stopword_ok": (
             f"({stopword_count_sql(t, GOPHER_STOPWORDS)} >= {d['min_stopword_hits']})"
+        ),
+        "bullet_ok": (
+            f"(CASE WHEN {n_lines} > 0 THEN {n_bullet} / "
+            f"CAST({n_lines} AS DOUBLE) < {d['max_bullet_line_frac']} END)"
+        ),
+        "ellipsis_ok": (
+            f"(CASE WHEN {n_lines} > 0 THEN {n_ellip} / "
+            f"CAST({n_lines} AS DOUBLE) < {d['max_ellipsis_line_frac']} END)"
         ),
     }
     return {k: f"COALESCE({v}, FALSE)" for k, v in rules.items()}
