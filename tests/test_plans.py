@@ -380,3 +380,22 @@ def test_holt_single_arrow_stage_and_broadcast_composition(spark):
     assert plan.count("InMemoryTableScan") >= plan.count("FlatMapGroupsInPandas")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_bin_never_nested_loop(spark):
+    """overlap_join inherits the rollup's physical guarantees: the
+    bucketized strategy is an equi join on (bin, groups) — never a
+    BroadcastNestedLoop/cartesian, which a naive theta join becomes."""
+    from timeperiods_spark import overlap_join
+
+    x = spark.createDataFrame(
+        [(1, 0, 9, 1.0), (2, 10, 19, 2.0)], "g int, s long, e long, v double"
+    )
+    y = spark.createDataFrame([(1, 0, 4), (2, 5, 9)], "g int, s long, e long")
+    plan = _plan(overlap_join(x, y, ("s", "e"), ["g"], join_strategy="bin"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ungrouped auto resolves to bin (no group keys to equi-join on)
+    plan2 = _plan(overlap_join(x.drop("g"), y.drop("g"), ("s", "e")))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
