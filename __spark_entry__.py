@@ -2705,6 +2705,65 @@ FROM x LEFT JOIN y
 """
 
 
+def q_overlap_join_bin_left(spark, sf_dir):
+    """Left-how twin on the BUCKETIZED strategy: the bin join preserves
+    x inside the join (first-bin NULL candidate + one max(matched)
+    window over the x identity) instead of the old dropDuplicates +
+    left_anti rescan — pinned in tests/test_plans.py as <= inner
+    exchanges + 1 and anti-join-free. Odd weeks only, so a third of the
+    measurements come back unmatched with NULL y columns."""
+    from timeperiods_spark import overlap_join
+
+    d = _daily_means(spark, sf_dir).select(
+        "event_type", F.unix_date("day").cast("long").alias("dl"), "v"
+    )
+    x = d.select("event_type", F.col("dl").alias("s"),
+                 (F.col("dl") + 2).alias("e"), "v")
+    y = d.select(
+        "event_type",
+        (F.floor(F.col("dl") / 7) * 7).cast("long").alias("s"),
+        (F.floor(F.col("dl") / 7) * 7 + 6).cast("long").alias("e"),
+    ).filter(F.pmod(F.floor(F.col("s") / 7), F.lit(2)) == 1).distinct()
+    out = overlap_join(
+        x, y, ("s", "e"), ["event_type"], how="left",
+        join_strategy="bin", bin_width=7,
+    )
+    return out.select(
+        "event_type", "s_x", "e_x", "s_y", "e_y", "v",
+        "overlap_start", "overlap_end", "overlap_duration",
+    )
+
+
+SQL_OVERLAP_JOIN_BIN_LEFT = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+d2 AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dl, v
+  FROM daily
+),
+x AS (SELECT event_type, dl AS s, dl + 2 AS e, v FROM d2),
+y AS (
+  SELECT DISTINCT event_type,
+         CAST(FLOOR(dl / 7) * 7 AS BIGINT) AS ys,
+         CAST(FLOOR(dl / 7) * 7 + 6 AS BIGINT) AS ye
+  FROM d2
+  WHERE CAST(FLOOR(dl / 7) AS BIGINT) % 2 = 1
+)
+SELECT x.event_type,
+       x.s AS s_x, x.e AS e_x, y.ys AS s_y, y.ye AS e_y, x.v,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE GREATEST(x.s, y.ys) END AS overlap_start,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE LEAST(x.e, y.ye) END AS overlap_end,
+       CASE WHEN y.ys IS NULL THEN NULL
+            ELSE CAST(LEAST(x.e, y.ye) - GREATEST(x.s, y.ys) + 1 AS BIGINT)
+       END AS overlap_duration
+FROM x LEFT JOIN y
+  ON x.event_type IS NOT DISTINCT FROM y.event_type
+ AND x.s <= y.ye AND x.e >= y.ys
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher Appendix-A quality rules over documents (thresholds
     lowered to fit the short synthetic docs so both branches of every
@@ -3526,6 +3585,7 @@ _PIPELINE_QUERIES = {
     "ngram_logprob_tokens": q_ngram_logprob,
     "gopher_quality_docs": q_gopher_quality,
     "overlap_join_weeks": q_overlap_join,
+    "overlap_join_bin_left": q_overlap_join_bin_left,
     "asof_events_tolerance": q_asof_tolerance,
     "tfidf_topk_tokens": q_tfidf,
 }
@@ -3573,6 +3633,7 @@ _PIPELINE_ORACLES = {
     "ngram_logprob_tokens": SQL_NGRAM_LOGPROB,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "overlap_join_weeks": SQL_OVERLAP_JOIN,
+    "overlap_join_bin_left": SQL_OVERLAP_JOIN_BIN_LEFT,
     "asof_events_tolerance": SQL_ASOF_TOLERANCE,
     "tfidf_topk_tokens": SQL_TFIDF,
 }

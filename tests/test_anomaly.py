@@ -7,6 +7,7 @@ import random
 import statistics
 
 import pytest
+from pyspark.sql import functions as F
 
 from timeperiods_spark import seasonal_adjust, zscore_anomaly
 from timeperiods_spark.errors import RoleValidationError
@@ -64,6 +65,12 @@ def test_zscore_constant_baseline_and_validation(spark):
         zscore_anomaly(df, "p", "v", ["g"], k=0)
     with pytest.raises(RoleValidationError):
         zscore_anomaly(df, "p", "v", ["g"], k=5, min_obs=1)
+    # ADVICE r5: raw timestamps grid to MICROSECONDS — the [p-k, p-1]
+    # baseline would always be empty; reject instead of silently
+    # returning all-NULL zscores
+    ts = df.select("g", F.timestamp_seconds(F.col("p") * 3600).alias("p"), "v")
+    with pytest.raises(RoleValidationError, match="MICROSECONDS"):
+        zscore_anomaly(ts, "p", "v", ["g"], k=5)
 
 
 def test_seasonal_adjust_removes_weekly_shape(spark):

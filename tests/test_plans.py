@@ -182,6 +182,25 @@ def test_minhash_band_join_ships_no_arrays(spark):
         assert "hashes" not in cols, cols
 
 
+def test_minhash_hot_bucket_probe_fills_banded_cache(spark):
+    """The default-on hot-bucket skew probe is an eager action; the
+    banded frame must be persisted FIRST so the probe materializes the
+    cache and the self join's two sides read it back — otherwise the
+    dominant shingle→minhash→banding stage runs once for the probe and
+    again on consumption (~2x at corpus scale, ADVICE r5)."""
+    from timeperiods_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = minhash_candidate_pairs(docs, "doc_id", "text")
+    plan = _plan(out)
+    # both self-join sides come from the cache, and no live banding
+    # (posexplode of the signature slices) survives outside it
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
 def test_ungrouped_validation_is_not_single_partition(spark):
     """With group_vars=[] the integrity scan must window by the
     deterministic start-bucket — not funnel everything through one
@@ -399,3 +418,31 @@ def test_overlap_join_bin_never_nested_loop(spark):
     plan2 = _plan(overlap_join(x.drop("g"), y.drop("g"), ("s", "e")))
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_overlap_join_left_no_anti_join(spark):
+    """how='left' is built INSIDE the strategy join (a preserved-x outer
+    join; the bin shape resolves a first-bin NULL candidate with one
+    max(matched) window) — never the dropDuplicates + left_anti rescan
+    of x it once was: no anti join anywhere, and at most ONE exchange
+    more than the inner plan (the bin variant's identity window)."""
+    from timeperiods_spark import overlap_join
+
+    x = spark.createDataFrame(
+        [(i % 7, i, i + 3, float(i)) for i in range(200)],
+        "g int, s long, e long, v double",
+    )
+    y = spark.createDataFrame(
+        [(i % 7, i * 10, i * 10 + 5) for i in range(40)],
+        "g int, s long, e long",
+    )
+    for strat in ("bin", "group_equi", "broadcast_y"):
+        kw = dict(join_strategy=strat)
+        if strat == "bin":
+            kw["bin_width"] = 8
+        inner = _plan(overlap_join(x, y, ("s", "e"), ["g"], how="inner", **kw))
+        left = _plan(overlap_join(x, y, ("s", "e"), ["g"], how="left", **kw))
+        assert "Anti" not in left, strat
+        assert "CartesianProduct" not in left, strat
+        assert "BroadcastNestedLoopJoin" not in left, strat
+        assert left.count("Exchange") <= inner.count("Exchange") + 1, strat

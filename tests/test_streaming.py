@@ -3,6 +3,8 @@ watermarked event-time rollup."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -378,6 +380,72 @@ def test_dedup_index_compaction(spark, tmp_path):
     # all rows preserved across two generations
     ids = {i for i, _, _ in index_rows()}
     assert {0, 10, 11, 20, 21, 30, 31, 50, 51} <= ids
+
+
+def test_epoch_manifest_concurrent_register_and_compact(spark, tmp_path):
+    """ADVICE r5: register_epoch and compact_root are both manifest
+    writers; unserialized, a stale register write could drop a
+    just-swapped __base from the live set. With the manifest lock +
+    re-read-merge swap, every epoch registered WHILE a compaction runs
+    survives in the final live set alongside the new base — under any
+    interleaving."""
+    import threading
+
+    from timeperiods_spark.streaming import dedup_index as dix
+
+    root = str(tmp_path / "bands")
+    small = spark.range(4).selectExpr("id", "id AS band", "array(id) AS bsig")
+    for e in range(3):
+        small.write.parquet(os.path.join(root, f"__epoch={e}"))
+        dix.register_epoch(root, e)
+
+    err: list = []
+
+    def compact():
+        try:
+            dix.compact_root(spark, root, through_epoch=1)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            err.append(exc)
+
+    t = threading.Thread(target=compact)
+    t.start()
+    registered = []
+    for e in range(10, 40):
+        dix.register_epoch(root, e)
+        registered.append(e)
+    t.join()
+    assert not err, err
+    live = dix.live_dirs(root)
+    assert any(d.startswith("__base") for d in live), live
+    for e in registered:
+        assert f"__epoch={e}" in live, (e, live)
+    assert "__epoch=2" in live and "__epoch=0" not in live
+
+
+def test_vacuum_spares_inflight_epoch_dirs(spark, tmp_path):
+    """An epoch dir whose data files landed but whose register_epoch
+    commit has not run (id > compacted_through, not live) must survive
+    vacuum — deleting it would race the ingest thread. Stale dirs at or
+    below the watermark are reclaimed."""
+    from timeperiods_spark.streaming import dedup_index as dix
+
+    root = str(tmp_path / "bands")
+    small = spark.range(2).selectExpr("id", "id AS band", "array(id) AS bsig")
+    for e in range(3):
+        small.write.parquet(os.path.join(root, f"__epoch={e}"))
+        dix.register_epoch(root, e)
+    dix.compact_root(spark, root, through_epoch=2, remove_old=True)
+
+    # in-flight: data landed, not yet registered, id above the watermark
+    small.write.parquet(os.path.join(root, "__epoch=7"))
+    # stale replay of a compacted epoch: id at/below the watermark
+    small.write.parquet(os.path.join(root, "__epoch=1"))
+    dropped = dix.vacuum_root(root)
+    assert "__epoch=1" in dropped and "__epoch=7" not in dropped
+    assert os.path.isdir(os.path.join(root, "__epoch=7"))
+    # once registered it joins the live set and is never vacuumable
+    assert dix.register_epoch(root, 7)
+    assert "__epoch=7" in dix.live_dirs(root)
 
 
 def test_distinct_rollup_stream_matches_batch_sketch(spark, tmp_path):

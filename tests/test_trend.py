@@ -214,6 +214,53 @@ def test_holt_bucketed_equals_whole_group(spark):
         assert am[k][1] == pytest.approx(bm[k][1], abs=5e-6)
 
 
+def test_holt_large_magnitude_big_bucket_stays_on_grid(spark):
+    """ADVICE r5: FFT convolution error is RELATIVE while the output
+    contract is an absolute 6dp grid — a ≥2048-row bucket of |v|~1e7
+    values must not diverge from the sequential recurrence. The
+    magnitude gate routes such buckets to truncated direct
+    convolution."""
+    from timeperiods_spark import holt
+
+    n = 2500
+    rows = [("a", t, 1e7 * (1.0 + 0.3 * ((t * 7919) % 101) / 101.0))
+            for t in range(n)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    # huge groups hint -> unbucketed whole-group scan: the full series
+    # goes through one >=2048-row convolution batch
+    got = holt(df, "t", "v", ["g"], alpha=0.3, beta=0.2,
+               carry_hints={"groups": 10_000_000}).collect()
+    exp = _slow_holt(rows, 0.3, 0.2)
+    assert len(got) == n
+    for r in got:
+        el, eb = exp[(r["g"], r["t"])]
+        assert r["holt_level"] == pytest.approx(el, rel=1e-9, abs=1e-4)
+        assert r["holt_trend"] == pytest.approx(eb, rel=1e-9, abs=1e-4)
+
+
+def test_conv_trunc_magnitude_gate_numpy():
+    """Unit-level: the truncated direct fallback matches the full
+    direct convolution to well under the 6dp grid at large magnitude,
+    and the small-magnitude FFT path is unchanged."""
+    import numpy as np
+
+    from timeperiods_spark.operators.trend import _conv_trunc, _mat_powers
+
+    a, b = 0.3, 0.2
+    A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]])
+    c = np.array([a, a * b])
+    n = 4096
+    K = _mat_powers(A, n) @ c
+    rng_v = np.cos(np.arange(n) * 0.37) + 1.5
+    for scale in (1.0, 1e8):
+        v = rng_v * scale
+        got = _conv_trunc(v, K)
+        ref = np.stack(
+            [np.convolve(v, K[:, comp])[:n] for comp in range(2)], axis=1
+        )
+        assert np.max(np.abs(got - ref)) < 1e-7 * max(1.0, scale * 1e-6)
+
+
 def test_holt_validates(spark):
     from timeperiods_spark import holt
 

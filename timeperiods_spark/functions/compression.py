@@ -190,18 +190,33 @@ def gorilla_encode(periods: np.ndarray, values: np.ndarray) -> bytes:
 # ------------------------------------------------------------- decode
 
 
-def _gather_bits(bu: np.ndarray, q: np.ndarray, width: int) -> np.ndarray:
-    """Vectorized extraction of ``width`` (1..64) MSB-first bits
-    starting at arbitrary bit offsets ``q`` of the byte buffer ``bu``
-    (which must be zero-padded by >= 9 bytes past the stream end)."""
+def _word_table(bu: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-BYTE big-endian 64-bit window table: ``W[k]`` holds bytes
+    ``bu[k:k+8]`` as one MSB-first word. Built once per block with 8
+    shifted ORs over the whole buffer, it turns every later bit-field
+    gather into a single element fetch instead of a 9-byte gather + 8
+    column shifts (the old per-call shape was ~55% of decode wall)."""
+    pb = bu.astype(np.uint64)
+    m = len(pb) - 8
+    W = np.zeros(m, dtype=np.uint64)
+    for j in range(8):
+        W |= pb[j : j + m] << np.uint64(56 - 8 * j)
+    return W, pb
+
+
+def _gather_bits(
+    words: tuple[np.ndarray, np.ndarray], q: np.ndarray, width: int
+) -> np.ndarray:
+    """Vectorized extraction of ``width`` (1..64) MSB-first bits at
+    arbitrary bit offsets ``q``, using the per-byte word table (buffer
+    zero-padded >= 9 bytes past the stream end)."""
+    W, pb = words
     byte_idx = (q >> 3).astype(np.int64)
     off = (q & 7).astype(np.uint64)
-    win = bu[byte_idx[:, None] + np.arange(9)].astype(np.uint64)
-    hi = np.zeros(len(q), dtype=np.uint64)
-    for j in range(8):
-        hi |= win[:, j] << np.uint64(56 - 8 * j)
-    # 72-bit window: top 64 bits in hi, next 8 in win[:, 8]
-    word = (hi << off) | (win[:, 8] >> (np.uint64(8) - off))
+    # 72-bit window: the aligned-at-byte word plus the following byte
+    word = (W[byte_idx] << off) | (
+        pb[byte_idx + 8].astype(np.uint64) >> (np.uint64(8) - off)
+    )
     return word >> np.uint64(64 - width)
 
 
@@ -252,6 +267,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     bitsb = bits.tobytes()  # Python-int indexing for the scalar walk
     padded = stream + b"\x00" * 17
     bu = np.frombuffer(padded, dtype=np.uint8)
+    words = _word_table(bu)
 
     # deferred per-point payload streams (index 0 = the header point,
     # which contributes nothing)
@@ -361,7 +377,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         for w, bias in ((7, 63), (9, 255), (12, 2047), (64, 0)):
             sel = tm & (twidth == w)
             if sel.any():
-                raw = _gather_bits(bu, tpos[sel], w)
+                raw = _gather_bits(words, tpos[sel], w)
                 # width-64 payloads are raw two's-complement int64;
                 # narrower ones carry a bias
                 dod[sel] = raw.astype(np.int64) - bias
@@ -374,7 +390,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     if vm.any():
         for w in np.unique(vwidth[vm]):
             sel = vm & (vwidth == w)
-            contrib[sel] = _gather_bits(bu, vpos[sel], int(w)) << vshift[
+            contrib[sel] = _gather_bits(words, vpos[sel], int(w)) << vshift[
                 sel
             ].astype(np.uint64)
     v_arr = first_v ^ np.bitwise_xor.accumulate(contrib)
@@ -492,7 +508,18 @@ def decompress_series(
                 }
             )
             for g in gv:
-                out[g] = np.repeat(pdf[g].to_numpy(), reps)
+                col = pdf[g]
+                if col.dtype == object or str(col.dtype) == "string":
+                    # dictionary-encode: repeat per-BLOCK codes, not
+                    # millions of Python strings — Arrow then ships a
+                    # DictionaryArray instead of an object column
+                    # (measured dominant in the bulk-decode wall)
+                    codes, cats = pd.factorize(col)
+                    out[g] = pd.Categorical.from_codes(
+                        np.repeat(codes, reps), categories=cats
+                    )
+                else:
+                    out[g] = np.repeat(col.to_numpy(), reps)
             yield out[gv + [period_col, value_col]]
 
     return compressed.mapInPandas(decode, schema)

@@ -52,11 +52,28 @@ def zscore_anomaly(
     variance) get NULL ``zscore`` and ``is_anomaly = false`` — warmup
     and constant stretches are not anomalies. NULL periods/values are
     excluded.
+
+    ``period_col`` must already be ON the period grid (consecutive
+    periods differ by 1): an integer period index or a DATE for daily
+    grids. A raw TimestampType is REJECTED — its long form is epoch
+    MICROSECONDS, so the trailing ``[p-k, p-1]`` baseline would span k
+    microseconds, every baseline would be silently empty, and every
+    zscore NULL (ADVICE r5). Grid timestamps explicitly first, e.g.
+    ``F.unix_timestamp(ts) / 3600`` floor-divided for hourly periods
+    or ``rollup_regular``'s tier outputs.
     """
     if k <= 0:
         raise RoleValidationError("k must be a positive number of periods")
     if min_obs < 2:
         raise RoleValidationError("min_obs must be at least 2")
+    if isinstance(df.schema[period_col].dataType, T.TimestampType):
+        raise RoleValidationError(
+            f"zscore_anomaly: {period_col} is a timestamp; the trailing "
+            f"baseline [p-{k}, p-1] would span {k} MICROSECONDS and every "
+            "baseline would be empty. Convert to the period grid first "
+            "(e.g. floor(unix_timestamp(ts) / 3600) for hourly periods, "
+            "or a date column for daily ones)."
+        )
     gcols = list(group_vars or [])
     base = df.filter(
         F.col(period_col).isNotNull() & F.col(value_col).isNotNull()

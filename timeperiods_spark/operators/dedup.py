@@ -138,7 +138,13 @@ def minhash_candidate_pairs(
     The shingle frame is consumed three times when verifying (banding
     plus two pair re-attach joins); ``cache_shingles`` persists it so
     shingling runs once — at true corpus scale, write the shingle
-    frame to a table instead and pass texts pre-shingled."""
+    frame to a table instead and pass texts pre-shingled.
+
+    ``hot_bucket_warn=True`` with no cap runs an eager skew probe; the
+    banded frame is persisted first so the probe fills the cache the
+    self join then reads (construction is one job, never a double run
+    of the shingle→minhash stage). Pass ``hot_bucket_warn=False`` for
+    a fully lazy frame."""
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
@@ -191,6 +197,17 @@ def minhash_candidate_pairs(
         # over-popular bucket (VERDICT r4 finding 2). One extra
         # map-side-combined aggregate measures the skew and warns with
         # the concrete fan-out before the join runs it.
+        #
+        # The probe is an EAGER action; without a cache it would run
+        # the dominant shingle→minhash→banding stage once here and
+        # AGAIN when the returned frame is consumed (~2x at corpus
+        # scale — ADVICE r5). Persist the slim (id, band, bsig) frame
+        # first: the probe materializes the cache and every consumer
+        # (both self-join sides included) reads it back. Callers that
+        # want a fully lazy construction pass hot_bucket_warn=False.
+        from ..plans.cachectl import managed_persist
+
+        banded = managed_persist(banded, "minhash_candidate_pairs.banded")
         st = (
             banded.groupBy("band", "bsig")
             .agg(F.count(F.lit(1)).alias("__n"))

@@ -401,7 +401,7 @@ def overlap_join(
     pairs = build_overlap_pairs(
         xw, yw, n_g,
         strategy=join_strategy, bin_width=bin_width,
-        skew_salt=skew_salt, auto_stats=join_stats,
+        skew_salt=skew_salt, auto_stats=join_stats, how=how,
     )
 
     def _out_name(c: str, taken: set, suffix: str) -> str:
@@ -410,6 +410,21 @@ def overlap_join(
     x_names = {*x_pay, *group_vars}
     y_names = {*y_pay}
     sx, sy = suffixes
+
+    # how="left": unmatched x rows reach here with NULL __ys/__ye (the
+    # strategy layer preserves x inside the join itself — no anti join,
+    # no second scan of x; same completion shape as the rollup's O10,
+    # interval_avg.py). greatest/least IGNORE NULLs (they'd fabricate
+    # overlap bounds from the x side alone), so the clip columns are
+    # NULL-guarded on the unmatched sentinel.
+    unmatched = F.col("__ys").isNull()
+
+    def _clip(expr, out_type):
+        if how == "inner":
+            return expr.cast(out_type) if out_type == "long" else expr
+        guarded = F.when(unmatched, F.lit(None)).otherwise(expr)
+        return guarded.cast(out_type) if out_type == "long" else guarded
+
     # interval columns always suffixed per side (they collide by
     # construction)
     cols = [
@@ -426,40 +441,13 @@ def overlap_join(
             F.col(f"__yp{i}").alias(_out_name(c, x_names, sy))
             for i, c in enumerate(y_pay)
         ],
-        _ungrid(F.greatest("__xs", "__ys"), dtype).alias("overlap_start"),
-        _ungrid(F.least("__xe", "__ye"), dtype).alias("overlap_end"),
-        (F.least("__xe", "__ye") - F.greatest("__xs", "__ys") + F.lit(1))
-        .cast("long").alias("overlap_duration"),
+        _clip(_ungrid(F.greatest("__xs", "__ys"), dtype), "any")
+        .alias("overlap_start"),
+        _clip(_ungrid(F.least("__xe", "__ye"), dtype), "any")
+        .alias("overlap_end"),
+        _clip(
+            F.least("__xe", "__ye") - F.greatest("__xs", "__ys") + F.lit(1),
+            "long",
+        ).alias("overlap_duration"),
     ]
-    out = pairs.select(*cols)
-    if how == "inner":
-        return out
-
-    # left: restore unmatched x rows with NULL y-side columns via an
-    # anti join on the x identity (group keys + interval + payload are
-    # the identity; the rollup forbids exact-duplicate x rows, same
-    # contract here)
-    matched_x = out.select(
-        *group_vars,
-        F.col(f"{s_col}{sx}").alias(s_col),
-        F.col(f"{e_col}{sx}").alias(e_col),
-    ).dropDuplicates()
-    cond = (x[s_col] == matched_x[s_col]) & (x[e_col] == matched_x[e_col])
-    for g in group_vars:
-        cond = cond & x[g].eqNullSafe(matched_x[g])
-    unmatched = x.join(matched_x, cond, "left_anti").select(
-        *group_vars,
-        F.col(s_col).alias(f"{s_col}{sx}"),
-        F.col(e_col).alias(f"{e_col}{sx}"),
-        F.lit(None).cast(dtype).alias(f"{s_col}{sy}"),
-        F.lit(None).cast(dtype).alias(f"{e_col}{sy}"),
-        *[F.col(c).alias(_out_name(c, y_names, sx)) for c in x_pay],
-        *[
-            F.lit(None).cast(yf[c]).alias(_out_name(c, x_names, sy))
-            for c in y_pay
-        ],
-        F.lit(None).cast(dtype).alias("overlap_start"),
-        F.lit(None).cast(dtype).alias("overlap_end"),
-        F.lit(None).cast("long").alias("overlap_duration"),
-    )
-    return out.unionByName(unmatched)
+    return pairs.select(*cols)

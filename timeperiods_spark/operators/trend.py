@@ -222,21 +222,54 @@ def _mat_powers(A: "np.ndarray", n: int) -> "np.ndarray":
     return out
 
 
+#: absolute error budget for the convolution paths — two orders under
+#: the 6dp output rounding grid
+_CONV_ABS_TOL = 1e-9
+
+
 def _conv_trunc(v: "np.ndarray", K: "np.ndarray") -> "np.ndarray":
     """Truncated convolution ``z[m] = sum_j K[m-j] @ v[j]`` for the
     zero-seeded matrix chain: direct ``np.convolve`` for small
-    batches, FFT for large ones (O(n log n); error ~n*eps, orders of
-    magnitude under the 6dp output grid)."""
+    batches, FFT for large ones (O(n log n)).
+
+    FFT round-off is RELATIVE (~log2(L)*eps of the peak output
+    magnitude) while the output contract is an ABSOLUTE 6dp grid, so
+    large-magnitude inputs (|v| ≳ 1e6 over ≥2048-row buckets) could
+    diverge from the sequential recurrence at the grid (ADVICE r5).
+    The FFT path is therefore gated on the estimated absolute error
+    ``log2(L)*eps*max|z|`` staying under ``_CONV_ABS_TOL``; above it,
+    fall back to direct convolution with the kernel TRUNCATED where
+    its tail can no longer move the output by the same tolerance —
+    Holt kernels decay geometrically (strictly stable A), so the
+    effective kernel is short and the fallback stays O(n * k_eff),
+    exact to well under the rounding grid at any magnitude."""
     n = len(v)
     out = np.empty((n, 2))
-    if n < 2048:
-        for comp in range(2):
-            out[:, comp] = np.convolve(v, K[:, comp])[:n]
+    if n == 0:
         return out
-    L = 1 << int(2 * n - 1).bit_length()
-    fv = np.fft.rfft(v, L)
+    if n >= 2048:
+        eps = np.finfo(np.float64).eps
+        vmax = float(np.max(np.abs(v)))
+        # peak-output bound per component: max|v| * sum|K|
+        ksum = np.sum(np.abs(K), axis=0)
+        peak = vmax * float(ksum.max())
+        L = 1 << int(2 * n - 1).bit_length()
+        if np.log2(L) * eps * max(1.0, peak) < _CONV_ABS_TOL:
+            fv = np.fft.rfft(v, L)
+            for comp in range(2):
+                out[:, comp] = np.fft.irfft(
+                    fv * np.fft.rfft(K[:, comp], L), L
+                )[:n]
+            return out
+        # direct fallback: drop the kernel tail whose total contribution
+        # max|v| * sum_{j>=m}|K[j]| is already under the budget
+        tail = np.cumsum(np.abs(K[::-1]), axis=0)[::-1]  # suffix sums
+        keep = np.nonzero((tail * max(vmax, 1e-300)).max(axis=1)
+                          >= _CONV_ABS_TOL)[0]
+        k_eff = int(keep[-1]) + 1 if len(keep) else 1
+        K = K[:k_eff]
     for comp in range(2):
-        out[:, comp] = np.fft.irfft(fv * np.fft.rfft(K[:, comp], L), L)[:n]
+        out[:, comp] = np.convolve(v, K[:, comp])[:n]
     return out
 
 
@@ -334,10 +367,13 @@ def holt(
     if not whole_group:
         # the bucketed path reads `local` twice (bucket stats + the
         # join-back) — without a persist the whole Arrow scan runs
-        # twice (measured ~2x wall at 4M rows)
-        from ..plans.cachectl import managed_persist
+        # twice (measured ~2x wall at 4M rows). Per-CALL tags: a
+        # pipeline that builds holt twice before collecting either
+        # would evict a shared tag and silently recompute the first
+        # call's Arrow stage (VERDICT r5 finding 3)
+        from ..plans.cachectl import managed_persist_percall
 
-        local = managed_persist(local, "holt.local")
+        local = managed_persist_percall(local, "holt.local")
 
     def _emit(frame, level, trend):
         cols = [
@@ -543,10 +579,11 @@ def ewma(
 
     local = src.groupBy(*gcols, "__bk").applyInPandas(_batch, out_schema)
     if not whole_group:
-        # bucketed path reads `local` twice (bucket stats + join-back)
-        from ..plans.cachectl import managed_persist
+        # bucketed path reads `local` twice (bucket stats + join-back);
+        # per-call tags so multi-call pipelines keep each call cached
+        from ..plans.cachectl import managed_persist_percall
 
-        local = managed_persist(local, "ewma.local")
+        local = managed_persist_percall(local, "ewma.local")
 
     if whole_group:
         # init handled inside the batch; no cross-bucket composition

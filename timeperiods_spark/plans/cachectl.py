@@ -89,6 +89,39 @@ def managed_persist(
     return out
 
 
+#: per-family call counters and FIFO of live per-call tags
+_FAMILY_SEQ: Dict[str, int] = {}
+_FAMILY_TAGS: Dict[str, List[str]] = {}
+
+
+def managed_persist_percall(
+    df: DataFrame,
+    family: str,
+    keep: int = 4,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Per-CALL managed persist: every call registers a fresh tag
+    ``family#<n>`` and the oldest frames beyond ``keep`` are released
+    FIFO. Use for operators whose intermediate is read MORE THAN ONCE
+    per call and whose callers legitimately hold several lazy results
+    at once (the trend scans: a two-stage pipeline builds holt twice
+    before collecting either — a single shared tag would evict the
+    first call's Arrow stage and silently recompute it at collect time,
+    VERDICT r5 finding 3). The pool stays bounded at ``keep`` frames
+    per family instead of one."""
+    with _LOCK:
+        n = _FAMILY_SEQ[family] = _FAMILY_SEQ.get(family, 0) + 1
+    tag = f"{family}#{n}"
+    out = managed_persist(df, tag, storage_level)
+    with _LOCK:
+        q = _FAMILY_TAGS.setdefault(family, [])
+        q.append(tag)
+        evict = [q.pop(0) for _ in range(max(0, len(q) - int(keep)))]
+    for t in evict:
+        release(t)
+    return out
+
+
 def release(tag: Optional[str] = None) -> int:
     """Unpersist managed intermediates — one tag, or all when ``tag``
     is None. Returns the number of frames released."""

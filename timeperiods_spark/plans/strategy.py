@@ -116,8 +116,9 @@ def build_overlap_pairs(
     bin_width: Optional[int] = None,
     skew_salt: Optional[int] = None,
     auto_stats: Optional[tuple] = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join x intervals to y periods on closed-interval overlap.
+    """Join x intervals to y periods on closed-interval overlap.
 
     Output carries ``__yg*`` (y group keys), all x columns except its
     group keys, and ``__ys/__ye`` — one row per overlapping (x, y) pair:
@@ -125,12 +126,33 @@ def build_overlap_pairs(
     timeperiod_functions.R:239-240) minus the unmatched y rows, which
     the caller restores with a completion join.
 
+    ``how="left"`` additionally keeps every UNMATCHED x row exactly once
+    with NULL ``__ys/__ye``/y-payload (data.table ``nomatch=NA``); the
+    ``__yg*`` columns are then populated from x's own group keys (they
+    are null-safe-equal on matched rows, so this is a pure widening).
+    The left variant is built INSIDE each physical strategy — a direct
+    left-outer join for the equi/broadcast shapes (zero extra
+    exchanges) and, for the bin shape, a first-bin null candidate
+    resolved by one ``max(matched)`` window over the x identity
+    (group keys, start, end) — exactly one extra exchange, no
+    dropDuplicates, no anti join, no second scan of x. x rows must be
+    unique by (group keys, start, end); ``overlap_join`` documents
+    that contract.
+
     ``auto_stats=(nx, ny, n_groups_distinct)`` feeds the auto picker
     without its stats action (hot paths that know their sizes; the
     numbers only steer the strategy choice, never correctness).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     overlap = (F.col("__xs") <= F.col("__ye")) & (F.col("__xe") >= F.col("__ys"))
     ygcols = [f"__yg{i}" for i in range(n_groups)]
+    # for left output, y group keys come from the preserved x side
+    out_g = (
+        [F.col(f"__g{i}").alias(f"__yg{i}") for i in range(n_groups)]
+        if how == "left"
+        else [F.col(c) for c in ygcols]
+    )
     x_payload = [c for c in xw.columns if not c.startswith("__g")]
     # y-side payload beyond (group keys, __ys, __ye) carries through —
     # empty for the rollup callers, populated by overlap_join
@@ -170,15 +192,25 @@ def build_overlap_pairs(
             )
 
     if strategy in ("group_equi", "broadcast_y", "broadcast_x"):
-        left, right = yw, xw
-        if strategy == "broadcast_y":
-            left = F.broadcast(yw)
-        elif strategy == "broadcast_x":
-            right = F.broadcast(xw)
         gc = _group_cond(n_groups)
         cond = overlap if gc is None else (gc & overlap)
-        pairs = left.join(right, cond, "inner")
-        return pairs.select(*ygcols, *x_payload, "__ys", "__ye", *y_payload)
+        if how == "left":
+            # x is the preserved side. broadcast_x keeps its broadcast by
+            # flipping to a right-outer join (BroadcastHashJoin supports
+            # BuildLeft + RightOuter, not BuildLeft + LeftOuter).
+            if strategy == "broadcast_x":
+                pairs = yw.join(F.broadcast(xw), cond, "right")
+            else:
+                right = F.broadcast(yw) if strategy == "broadcast_y" else yw
+                pairs = xw.join(right, cond, "left")
+        else:
+            left, right = yw, xw
+            if strategy == "broadcast_y":
+                left = F.broadcast(yw)
+            elif strategy == "broadcast_x":
+                right = F.broadcast(xw)
+            pairs = left.join(right, cond, "inner")
+        return pairs.select(*out_g, *x_payload, "__ys", "__ye", *y_payload)
 
     if strategy == "bin":
         w = bin_width or estimate_bin_width(xw, yw)
@@ -217,7 +249,31 @@ def build_overlap_pairs(
         gc = _group_cond(n_groups)
         if gc is not None:
             cond = gc & cond
+        if how == "left":
+            # Preserve x: a left-outer join over the EXPLODED x emits one
+            # NULL row per (x, bin) slot with no bin-local match, so
+            # (a) keep NULL candidates only at x's FIRST bin (one
+            # candidate per x row, mirroring the first-shared-bin dedup),
+            # (b) resolve "matched somewhere else?" with a single
+            # max(matched) window over the x identity — one extra
+            # exchange vs the inner plan, no anti join, x scanned once.
+            from pyspark.sql import Window
+
+            joined = xbin.join(ybin, cond, "left")
+            first_bin = F.col("__bin") == F.floor(F.col("__xs") / wl)
+            matched = F.col("__ys").isNotNull()
+            cand = joined.filter(matched | first_bin)
+            wx = Window.partitionBy(
+                *[f"__g{i}" for i in range(n_groups)], "__xs", "__xe"
+            )
+            keep = (
+                cand.withColumn(
+                    "__has", F.max(matched.cast("int")).over(wx)
+                )
+                .filter(matched | (F.col("__has") == 0))
+            )
+            return keep.select(*out_g, *x_payload, "__ys", "__ye", *y_payload)
         pairs = ybin.join(xbin, cond, "inner")
-        return pairs.select(*ygcols, *x_payload, "__ys", "__ye", *y_payload)
+        return pairs.select(*out_g, *x_payload, "__ys", "__ye", *y_payload)
 
     raise ValueError(f"unknown join strategy: {strategy!r}")

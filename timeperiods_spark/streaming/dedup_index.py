@@ -34,10 +34,12 @@ rewriteDataFiles output, vacuum is expire_snapshots.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
 import shutil
+from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +55,27 @@ SUB_INDEXES = ("bands", "shingles")
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST)
+
+
+@contextmanager
+def _manifest_lock(root: str):
+    """Serialize manifest writers. ``register_epoch`` (ingest thread)
+    and ``compact_root`` (maintenance) both read-modify-write
+    ``_epochs.json``; unserialized, a stale register write can drop a
+    just-swapped ``__base`` from the live set and resurrect folded
+    epoch dirs the vacuum already deleted (ADVICE r5). An exclusive
+    ``flock`` on a sidecar lock file makes every writer see the
+    latest manifest; readers stay lock-free (the swap itself is
+    already atomic via ``os.replace``). On object storage the same
+    role is played by the catalog's conditional-put / CAS on the
+    snapshot pointer."""
+    os.makedirs(root, exist_ok=True)
+    with open(_manifest_path(root) + ".lock", "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _present_dirs(root: str) -> List[str]:
@@ -117,19 +140,21 @@ def register_epoch(root: str, epoch_id: int) -> bool:
     """Commit an epoch directory into the live set AFTER its data files
     land. Returns False (and changes nothing) when the epoch is already
     compacted into a base — the replay-no-op guard. Idempotent: re-adds
-    of a live epoch are silent."""
-    live, ct = read_manifest(root)
-    if epoch_id <= ct:
-        return False
-    if live is None:
-        # first manifest: adopt everything already on disk (legacy dirs
-        # written before this module existed stay visible)
-        live = _present_dirs(root)
-    name = f"{EPOCH_PREFIX}{int(epoch_id)}"
-    if name not in live:
-        live = live + [name]
-    _write_manifest(root, live, ct)
-    return True
+    of a live epoch are silent. The read-modify-write runs under the
+    manifest lock so a concurrent compaction swap is never clobbered."""
+    with _manifest_lock(root):
+        live, ct = read_manifest(root)
+        if epoch_id <= ct:
+            return False
+        if live is None:
+            # first manifest: adopt everything already on disk (legacy
+            # dirs written before this module existed stay visible)
+            live = _present_dirs(root)
+        name = f"{EPOCH_PREFIX}{int(epoch_id)}"
+        if name not in live:
+            live = live + [name]
+        _write_manifest(root, live, ct)
+        return True
 
 
 def read_live(spark: SparkSession, root: str) -> Optional[DataFrame]:
@@ -173,26 +198,43 @@ def compact_root(
 
     ``through_epoch`` MUST be ≤ the streaming checkpoint's last
     committed epoch — that is what guarantees no future replay targets
-    a folded epoch (see module docstring)."""
-    live = live_dirs(root)
-    _, ct = read_manifest(root)
-    fold = [
-        d
-        for d in live
-        if d.startswith(BASE_PREFIX)
-        or (_epoch_id(d) is not None and _epoch_id(d) <= through_epoch)
-    ]
-    tail = [d for d in live if d not in fold]
-    if len(fold) < 2 and not (len(fold) == 1 and fold[0].startswith(EPOCH_PREFIX)):
-        # nothing to merge: zero or one dir and it is already a base
-        return None
+    a folded epoch (see module docstring).
+
+    Safe to run WHILE the stream commits epochs: the fold set is chosen
+    and the final swap performed under the manifest lock, and the swap
+    re-reads the manifest so epochs registered during the (long) base
+    write are preserved in the new live set."""
+    with _manifest_lock(root):
+        live = live_dirs(root)
+        _, ct = read_manifest(root)
+        fold = [
+            d
+            for d in live
+            if d.startswith(BASE_PREFIX)
+            or (_epoch_id(d) is not None and _epoch_id(d) <= through_epoch)
+        ]
+        if len(fold) < 2 and not (
+            len(fold) == 1 and fold[0].startswith(EPOCH_PREFIX)
+        ):
+            # nothing to merge: zero or one dir and it is already a base
+            return None
+        base_name = _next_base_name(root)
+    # the expensive merge runs OUTSIDE the lock — ingest keeps
+    # committing; the fold set is frozen (folded dirs are immutable)
     merged = spark.read.parquet(*(os.path.join(root, d) for d in fold))
     # sever lineage before writing into the tree we just read from
     # (catalog.compact's overwrite-while-reading pattern)
     merged = merged.localCheckpoint(eager=True)
-    base_name = _next_base_name(root)
     merged.write.mode("overwrite").parquet(os.path.join(root, base_name))
-    _write_manifest(root, [base_name] + tail, max(through_epoch, ct))
+    with _manifest_lock(root):
+        # re-read-and-merge: keep every dir registered since the plan
+        now_live, now_ct = read_manifest(root)
+        if now_live is None:
+            now_live = _present_dirs(root)
+        tail = [d for d in now_live if d not in fold and d != base_name]
+        _write_manifest(
+            root, [base_name] + tail, max(through_epoch, now_ct)
+        )
     if remove_old:
         vacuum_root(root)
     return base_name
@@ -201,16 +243,27 @@ def compact_root(
 def vacuum_root(root: str) -> List[str]:
     """Delete epoch/base dirs outside the live manifest (dead after a
     compaction swap, or stale replays of compacted epochs). Safe to
-    defer for long-running readers."""
-    live, _ = read_manifest(root)
+    defer for long-running readers.
+
+    Epoch dirs are only reclaimed when their id is ≤
+    ``compacted_through``: an id ABOVE the watermark that is not (yet)
+    live is an in-flight micro-batch whose data files landed but whose
+    ``register_epoch`` commit has not run — deleting it would race the
+    ingest thread. Non-live base dirs are always dead (generation names
+    are never reused while they exist)."""
+    live, ct = read_manifest(root)
     if live is None:
         return []
     keep = set(live)
     dropped = []
     for d in _present_dirs(root):
-        if d not in keep:
-            shutil.rmtree(os.path.join(root, d))
-            dropped.append(d)
+        if d in keep:
+            continue
+        eid = _epoch_id(d)
+        if eid is not None and eid > ct:
+            continue  # uncommitted in-flight epoch: not ours to delete
+        shutil.rmtree(os.path.join(root, d))
+        dropped.append(d)
     return dropped
 
 

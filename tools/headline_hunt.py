@@ -51,18 +51,9 @@ LEG_FLAG = "/tmp/spark_graft_leg_running"
 
 
 def _sha() -> str:
-    try:
-        sha = subprocess.run(
-            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "-C", REPO, "status", "--porcelain"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        return sha + ("+dirty" if dirty else "")
-    except Exception:
-        return "unknown"
+    # shared with the bench merge gate so a recorded sha and the gate's
+    # _code_current comparison can never drift apart
+    return bench._sha_label()
 
 
 def _quiet_now(width: int, need: int = 2) -> bool:

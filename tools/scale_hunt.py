@@ -75,6 +75,7 @@ def run_leg(cores: int, n_docs: int, state_path: str) -> dict:
     steal = bench._steal_seconds(samples, cores)
     rec = {
         "t": round(time.time(), 1),
+        "sha": bench._sha_label(),
         "cores": cores,
         "n_docs": n_docs,
         "seconds": m["seconds"],
