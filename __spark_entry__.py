@@ -3123,6 +3123,164 @@ FROM r WHERE rnk <= 5
 """
 
 
+def q_ohlc_weekly(spark, sf_dir):
+    """OHLC bars per (event_type, 7-day bucket of epoch seconds): one
+    hash aggregate, struct orderings encode the deterministic open
+    (earliest second, value tie -> min) / close (latest second, tie ->
+    max) picks — the oracle mirrors both rules with two row_number
+    windows. Values round to 6dp BEFORE aggregation so both engines
+    feed identical inputs; the order-sensitive sum reports at 4dp."""
+    from timeperiods_spark import rollup_ohlc
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.round(F.col("value"), _R).alias("v"),
+    )
+    out = rollup_ohlc(base, "sec", "v", ["event_type"], bucket_width=604800)
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("open", _R).alias("open"),
+        F.round("high", _R).alias("high"),
+        F.round("low", _R).alias("low"),
+        F.round("close", _R).alias("close"),
+        "n_obs",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_OHLC_WEEKLY = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         ROUND(value, 6) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+b AS (
+  SELECT event_type, CAST(FLOOR(sec / 604800.0) AS BIGINT) AS bucket, sec, v
+  FROM base
+),
+r AS (
+  SELECT event_type, bucket, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY sec ASC, v ASC) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY sec DESC, v DESC) AS rn_close
+  FROM b
+)
+SELECT event_type, bucket,
+       ROUND(MAX(CASE WHEN rn_open = 1 THEN v END), 6) AS open,
+       ROUND(MAX(v), 6) AS high,
+       ROUND(MIN(v), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_close = 1 THEN v END), 6) AS close,
+       COUNT(*) AS n_obs,
+       ROUND(SUM(v), 4) AS sum_value
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_xcorr_daily(spark, sf_dir):
+    """Lagged cross-correlation between event-type daily-mean series
+    (lead/lag discovery; the (error, error) pair is the ACF). The
+    lagged pairing is an EQUI join — (series, period + lag) keys — so
+    the plan is one shuffle join + one tiny hash aggregate; the twin
+    spells the identical join. Inputs round to 6dp first; Pearson on
+    ~30 shared points compares clean at 6dp."""
+    from timeperiods_spark import cross_correlation
+
+    base = _daily_means(spark, sf_dir).select(
+        "event_type", F.unix_date("day").alias("p"), "v"
+    )
+    out = cross_correlation(
+        base,
+        "p",
+        "v",
+        "event_type",
+        pairs=[("click", "purchase"), ("view", "click"), ("error", "error")],
+        lags=[-3, -1, 0, 1, 3],
+    )
+    return out.select(
+        "series_a",
+        "series_b",
+        F.col("lag").cast("int").alias("lag"),
+        "n_overlap",
+        F.round("xcorr", _R).alias("xcorr"),
+    )
+
+
+SQL_XCORR_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_MEANS}),
+g AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', day) AS p, v
+  FROM daily
+),
+pairs(series_a, series_b) AS (
+  VALUES ('click', 'purchase'), ('view', 'click'), ('error', 'error')
+),
+lags(lag) AS (VALUES (-3), (-1), (0), (1), (3))
+SELECT pr.series_a, pr.series_b, CAST(l.lag AS INTEGER) AS lag,
+       COUNT(*) AS n_overlap,
+       ROUND(CORR(a.v, b.v), 6) AS xcorr
+FROM pairs pr
+CROSS JOIN lags l
+JOIN g a ON a.event_type = pr.series_a
+JOIN g b ON b.event_type = pr.series_b AND b.p = a.p + l.lag
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing curve: corpus coverage of the top-v vocabulary
+    for four sizes. Tie-robust by construction — equal-count tokens at
+    a rank boundary contribute the same count whichever side wins, so
+    the covered SUM (and the coverage ratio of two exact longs) is
+    engine-order independent even where binary collations differ."""
+    from timeperiods_spark import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("tokens")
+    )
+    out = vocab_coverage(docs, "tokens", vocab_sizes=[10, 50, 200, 1000])
+    return out.select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "tokens_covered",
+        "total_tokens",
+        "distinct_tokens",
+        F.round("coverage", _R).alias("coverage"),
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+         COUNT(*) AS distinct_tokens
+  FROM counts
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rn
+  FROM counts
+),
+sizes(vocab_size) AS (VALUES (10), (50), (200), (1000))
+SELECT s.vocab_size,
+       CAST(COALESCE(SUM(r.c), 0) AS BIGINT) AS tokens_covered,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       (SELECT distinct_tokens FROM tot) AS distinct_tokens,
+       ROUND(CAST(COALESCE(SUM(r.c), 0) AS BIGINT)
+             / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6) AS coverage
+FROM sizes s LEFT JOIN ranked r ON r.rn <= s.vocab_size
+GROUP BY 1
+"""
+
+
 def q_topk_tokens(spark, sf_dir):
     """Exact per-source heavy hitters (two-phase rank: per-partition
     pre-top-k then the output-domain window)."""
@@ -3588,6 +3746,9 @@ _PIPELINE_QUERIES = {
     "overlap_join_bin_left": q_overlap_join_bin_left,
     "asof_events_tolerance": q_asof_tolerance,
     "tfidf_topk_tokens": q_tfidf,
+    "rollup_ohlc_weekly": q_ohlc_weekly,
+    "xcorr_daily_events": q_xcorr_daily,
+    "vocab_coverage_docs": q_vocab_coverage,
 }
 
 _PIPELINE_ORACLES = {
@@ -3636,4 +3797,7 @@ _PIPELINE_ORACLES = {
     "overlap_join_bin_left": SQL_OVERLAP_JOIN_BIN_LEFT,
     "asof_events_tolerance": SQL_ASOF_TOLERANCE,
     "tfidf_topk_tokens": SQL_TFIDF,
+    "rollup_ohlc_weekly": SQL_OHLC_WEEKLY,
+    "xcorr_daily_events": SQL_XCORR_DAILY,
+    "vocab_coverage_docs": SQL_VOCAB_COVERAGE,
 }

@@ -446,3 +446,70 @@ def test_overlap_join_left_no_anti_join(spark):
         assert "CartesianProduct" not in left, strat
         assert "BroadcastNestedLoopJoin" not in left, strat
         assert left.count("Exchange") <= inner.count("Exchange") + 1, strat
+
+
+def test_ohlc_single_aggregate_no_join_no_window(spark):
+    """rollup_ohlc: ONE aggregate keyed (group, bucket) — the struct
+    orderings put open/close INSIDE the aggregate, so there is no
+    window, no join, and no sort of raw rows; exactly one shuffle."""
+    from timeperiods_spark import rollup_ohlc
+
+    df = spark.createDataFrame(
+        [("g", i, float(i % 13)) for i in range(100)],
+        "g string, p long, v double",
+    )
+    plan = _plan(rollup_ohlc(df, "p", "v", ["g"], bucket_width=10))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_xcorr_equi_join_no_range_predicate(spark):
+    """cross_correlation: the lagged pairing must be an EQUI join
+    (Catalyst extracts (series, period + lag) as plain keys) and the
+    pair table must broadcast — never a nested-loop theta join."""
+    from timeperiods_spark import cross_correlation
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(50)]
+        + [("b", t, float(t * 2)) for t in range(50)],
+        "s string, p long, v double",
+    )
+    plan = _plan(
+        cross_correlation(df, "p", "v", "s", pairs=[("a", "b")], lags=[0, 1])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the literal pair table
+
+
+def test_vocab_coverage_preaggregates_before_rank(spark):
+    """vocab_coverage: the token explode collapses through a hash
+    aggregate BEFORE any window (the rank runs over aggregated counts
+    with the shared per-partition pre-top-k), and the totals attach by
+    broadcast — no full-vocabulary global sort."""
+    from timeperiods_spark import vocab_coverage
+
+    df = spark.createDataFrame(
+        [([f"t{i % 37}" for i in range(j, j + 20)],) for j in range(30)],
+        "tokens array<string>",
+    )
+    plan = _plan(vocab_coverage(df, vocab_sizes=[5, 10]))
+    assert "CartesianProduct" not in plan
+    # the token explode feeds a PARTIAL hash aggregate before the
+    # token-keyed exchange (map-side combine collapses the fan-out)
+    assert re.search(
+        r"HashAggregate\(keys=\[token[^\n]*partial_sum[\s\S]*?"
+        r"Generate explode\(tokens",
+        plan,
+    )
+    # the corpus-sized counts subtree is persisted and BOTH consumers
+    # (rank + totals) read the cache — the plan string prints the
+    # cached subtree per occurrence, so pin the InMemoryTableScan count
+    # (2 = both reads hit the cache), not the explode count
+    assert plan.count("InMemoryTableScan") == 2
+    # pre-top-k prunes before the global rank (WindowGroupLimit both
+    # sides of the partition exchange)
+    assert "WindowGroupLimit" in plan
+    # totals attach by broadcast (1-row side)
+    assert "BroadcastExchange" in plan

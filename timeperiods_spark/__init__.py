@@ -18,7 +18,8 @@ from .errors import (
 from .functions.compression import compress_series, decompress_series
 from .functions.grid import salted_repartition, spread_input, timestamp_to_grid
 from .operators.cross import grouped_cartesian
-from .operators.downsample import downsample_m4
+from .operators.downsample import downsample_m4, rollup_ohlc
+from .operators.correlate import cross_correlation
 from .operators.histogram import (
     histogram_quantiles,
     merge_histograms,
@@ -66,6 +67,7 @@ from .operators.tokenstats import (
     token_histogram,
     token_ngram_counts,
     topk_per_group,
+    vocab_coverage,
 )
 from .plans.cachectl import release as release_caches
 from .operators.similarity import (
@@ -115,6 +117,9 @@ __all__ = [
     "gap_fill_interpolate",
     "sessionize",
     "downsample_m4",
+    "rollup_ohlc",
+    "cross_correlation",
+    "vocab_coverage",
     "rolling_window_agg",
     "rollup_histogram",
     "merge_histograms",

@@ -20,6 +20,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..errors import RoleValidationError
+
 
 def token_histogram(
     df: DataFrame,
@@ -437,4 +439,75 @@ def ngram_repetition(
                 / F.greatest(F.col("__ntok"), F.lit(1))
             ).alias("dup_frac"),
         )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    *,
+    vocab_sizes: Sequence[int],
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus coverage of the top-``v`` token vocabulary, for each
+    ``v`` in ``vocab_sizes``: what fraction of all token occurrences a
+    frequency-ranked vocabulary of that size captures — the sizing
+    curve a tokenizer-training pipeline reads before fixing its vocab
+    (coverage drives the OOV/byte-fallback rate).
+
+    Output: one row per ``vocab_size`` with ``tokens_covered``,
+    ``total_tokens``, ``distinct_tokens``, ``coverage`` (double in
+    [0, 1]). Ranking ties break by token ascending (deterministic).
+
+    Scale shape: one explode + hash aggregate keyed by token (the only
+    data-sized shuffle, map-side combined), then the shared two-phase
+    pre-top-k rank (``topk_per_group``) over AGGREGATED rows bounds the
+    final window to max(vocab_sizes) x partitions rows, and the
+    per-size sums collapse via one conditional aggregate — the full
+    vocabulary is never globally sorted.
+    """
+    sizes = sorted({int(v) for v in vocab_sizes})
+    if not sizes or sizes[0] <= 0:
+        raise RoleValidationError("vocab_sizes must be positive")
+    from ..plans.cachectl import managed_persist_percall
+
+    # counts feeds two consumers (rank + totals): persist the AGGREGATED
+    # frame so the corpus-sized explode + hash agg runs once
+    counts = managed_persist_percall(
+        token_histogram(df, tokens_col, weight_col=weight_col),
+        "vocab_coverage.counts",
+    )
+    totals = counts.agg(
+        F.sum("count").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+    )
+    ranked = topk_per_group(
+        counts, ["token"], F.sum("count"), k=sizes[-1]
+    )
+    per_size = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rank") <= v, F.col("measure"))).alias(f"__c{v}")
+            for v in sizes
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("vocab_size"),
+                        F.coalesce(F.col(f"__c{v}"), F.lit(0)).alias(
+                            "tokens_covered"
+                        ),
+                    )
+                    for v in sizes
+                ]
+            )
+        ).alias("s")
+    ).select("s.vocab_size", "s.tokens_covered")
+    return per_size.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "tokens_covered",
+        "total_tokens",
+        "distinct_tokens",
+        (F.col("tokens_covered") / F.col("total_tokens")).alias("coverage"),
     )
