@@ -470,37 +470,68 @@ def gorilla_bulk_throughput(spark) -> dict:
         ((F.col("id") * 2654435761) % 100000).cast("double").alias("value"),
     )
 
-    def one_rep() -> tuple[float, float]:
-        t0 = time.time()
-        comp = compress_series(series, ["g"]).cache()
-        n_pts = int(comp.agg(F.sum("n_points")).first()[0] or 0)
-        t1 = time.time()
-        n_back = decompress_series(comp, ["g"]).count()
-        t2 = time.time()
-        comp.unpersist()
-        assert n_back == n_pts == n
-        return t1 - t0, t2 - t1
+    # Phases measured SEPARATELY (r5 verdict item 4 root cause: the old
+    # coupled rep ran decode immediately after the heavy compress stage,
+    # so every decode rep inherited compress's GC/allocation tail plus
+    # first-in-session Python-worker spin-up — the reported 6.7M pts/s
+    # measured session warmup, not the codec; steady-state decode on the
+    # same data reads 20-30M). Compress reps stay fresh-frame (cache
+    # build is part of that phase); decode reps run back-to-back on one
+    # warm cache after an unrecorded warmup pass, house headline style.
+    def one_compress():
+        c = compress_series(series, ["g"]).cache()
+        n_pts = int(c.agg(F.sum("n_points")).first()[0] or 0)
+        return c, n_pts
 
-    # bracketed reps like the headline queries: the r3 bulk numbers ran
-    # under recorded steal and could not stand on their own
-    reps, probes = [], []
+    c_reps, c_probes, comp, n_pts = [], [], None, 0
     for _ in range(2):
-        r, _w, br = _bracketed_call(one_rep, HEAD_CANARY_THREADS)
-        reps.append(r)
-        probes.append([round(b, 3) for b in br])
+        if comp is not None:
+            # BEFORE building the next rep: Spark dedups cached plans
+            # by logical-plan equality, so caching an identical plan
+            # while the previous cache lives just aliases it (the rep
+            # would then time a cache READ, and unpersisting the old
+            # handle would evict the shared entry under the new one)
+            comp.unpersist(blocking=True)
+        (c_i, n_pts), ct_i, br = _bracketed_call(
+            one_compress, HEAD_CANARY_THREADS
+        )
+        c_reps.append(ct_i)
+        c_probes.append([round(b, 3) for b in br])
+        comp = c_i
+    n_back = decompress_series(comp, ["g"]).count()  # warmup, unrecorded
+    assert n_back == n_pts == n
+    d_reps, d_probes = [], []
+    for _ in range(3):
+        _cnt, dt_i, br = _bracketed_call(
+            lambda: decompress_series(comp, ["g"]).count(),
+            HEAD_CANARY_THREADS,
+        )
+        d_reps.append(dt_i)
+        d_probes.append([round(b, 3) for b in br])
+    comp.unpersist()
     thr = _probe_threshold(HEAD_CANARY_THREADS)
-    clean_idx = [i for i, p in enumerate(probes) if max(p) <= thr]
-    best = min(clean_idx or range(len(reps)), key=lambda i: max(reps[i]))
-    ct, dt = reps[best]
+
+    def pick(reps: list, probes: list) -> tuple[float, bool]:
+        # min wall across reps (steal only inflates); clean flag
+        # describes the chosen rep
+        j = min(range(len(reps)), key=lambda i: reps[i])
+        return reps[j], max(probes[j]) <= thr
+
+    ct, c_clean = pick(c_reps, c_probes)
+    dt, d_clean = pick(d_reps, d_probes)
     return {
         "gorilla_bulk_points": n,
         "gorilla_bulk_compress_pts_per_sec": round(n / ct, 1),
         "gorilla_bulk_decode_pts_per_sec": round(n / dt, 1),
-        "gorilla_bulk_clean": bool(clean_idx),
-        "gorilla_bulk_all": [
-            [round(n / c, 1), round(n / d, 1)] for c, d in reps
-        ],
-        "gorilla_bulk_probes": probes,
+        "gorilla_bulk_clean": bool(c_clean and d_clean),
+        "gorilla_bulk_compress_clean": bool(c_clean),
+        "gorilla_bulk_decode_clean": bool(d_clean),
+        "gorilla_bulk_compress_all": [round(n / c, 1) for c in c_reps],
+        "gorilla_bulk_decode_all": [round(n / d, 1) for d in d_reps],
+        "gorilla_bulk_probes": {
+            "compress": c_probes,
+            "decode": d_probes,
+        },
     }
 
 
@@ -1063,6 +1094,8 @@ def main():
             "gorilla_bulk_compress_pts_per_sec",
             "gorilla_bulk_decode_pts_per_sec",
             "gorilla_bulk_clean",
+            "gorilla_bulk_compress_clean",
+            "gorilla_bulk_decode_clean",
             "tier_points_per_sec",
         )
         if k in extras
