@@ -74,8 +74,17 @@ _HEADLINE_CODE_PATHS = ("bench.py", "timeperiods_spark")
 _SCALE_CODE_PATHS = ("jobs", "timeperiods_spark")
 
 
+#: union of the measured-code path sets: the dirty bit on a recorded
+#: sha label (and on _code_current's working-tree check) is scoped to
+#: the paths that can change a measured wall — an edited BASELINE.md or
+#: an untracked scratch file must not permanently poison a hunter leg
+_MEASURED_PATHS = ("bench.py", "jobs", "timeperiods_spark")
+
+
 def _git_head() -> tuple[str, bool]:
-    """(short sha, tree-dirty) — ("unknown", True) when git fails."""
+    """(short sha, measured-code-dirty) — ("unknown", True) when git
+    fails. Dirty is scoped to _MEASURED_PATHS (tracked-file edits only;
+    a new file under those paths also shows in --porcelain)."""
     try:
         sha = subprocess.run(
             ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
@@ -83,7 +92,8 @@ def _git_head() -> tuple[str, bool]:
         ).stdout.strip()
         dirty = bool(
             subprocess.run(
-                ["git", "-C", REPO, "status", "--porcelain"],
+                ["git", "-C", REPO, "status", "--porcelain", "--",
+                 *_MEASURED_PATHS],
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip()
         )
