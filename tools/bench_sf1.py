@@ -207,6 +207,52 @@ def pipeline_probe(spark) -> dict:
             return out.count()
         return run
 
+    def w_ohlc(n_rows: int):
+        def run():
+            from timeperiods_spark import rollup_ohlc
+
+            base = spark.range(n_rows, numPartitions=bench.CPUS * 4).select(
+                (F.col("id") % 16).cast("string").alias("g"),
+                (F.col("id") / 16).cast("long").alias("p"),
+                ((F.col("id") * 2654435761) % 100000).cast("double").alias("v"),
+            )
+            out = rollup_ohlc(base, "p", "v", ["g"], bucket_width=3600)
+            return out.count()
+        return run
+
+    def w_xcorr(n_rows: int):
+        def run():
+            from timeperiods_spark import cross_correlation
+
+            n_s = 8
+            base = spark.range(n_rows, numPartitions=bench.CPUS * 4).select(
+                F.concat(F.lit("s"), (F.col("id") % n_s)).alias("s"),
+                (F.col("id") / n_s).cast("long").alias("p"),
+                (F.sin(F.col("id") / 101.0) * 40 + 80).alias("v"),
+            )
+            out = cross_correlation(
+                base, "p", "v", "s",
+                pairs=[("s0", "s1"), ("s2", "s3"), ("s4", "s4")],
+                lags=[-2, -1, 0, 1, 2],
+            )
+            return out.count()
+        return run
+
+    def w_vocab(n_docs: int):
+        def run():
+            from timeperiods_spark import vocab_coverage
+
+            t = token_table(spark, n_docs, with_interval=False,
+                            partitions=bench.CPUS * 4)
+            toks = t.select(
+                F.transform("tokens", lambda x: (x % 4099).cast("string"))
+                .alias("tokens")
+            )
+            return vocab_coverage(
+                toks, vocab_sizes=[10, 100, 1000]
+            ).count()
+        return run
+
     # sf0.1 has 5000 docs (ids 0..4999); sf1 = 10 shifted copies. The
     # incremental base probes the top 10% against the other 90%; at 10x
     # the batch is copy 9 probing the index of copies 0-8.
@@ -220,6 +266,9 @@ def pipeline_probe(spark) -> dict:
         "duplicate_spans": (w_spans(SRC), w_spans(SF1_DIR)),
         "dedup_lines": (w_dedup_lines(SRC), w_dedup_lines(SF1_DIR)),
         "holt": (w_holt(400_000), w_holt(4_000_000)),
+        "rollup_ohlc": (w_ohlc(4_000_000), w_ohlc(40_000_000)),
+        "xcorr": (w_xcorr(2_000_000), w_xcorr(20_000_000)),
+        "vocab_coverage": (w_vocab(n_base), w_vocab(n_base * 10)),
     }
     def contam_phases(n_docs: int) -> dict:
         """Phase profile for the gram-join fan-out (VERDICT r5 item 7):
