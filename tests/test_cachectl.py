@@ -63,15 +63,16 @@ def test_repeated_calls_bounded_storage(spark, clean_caches):
             _intervals(spark, i), ["s", "e"], group_vars=["g"]
         ).count()
         high_water = max(high_water, _n_cached(spark))
-    # two managed tags (remove_overlaps.base, merge_intervals.deltas);
-    # async unpersist may briefly hold one stale frame per tag
-    assert high_water <= 4, f"storage pool grew to {high_water} cached RDDs"
-    assert sorted(cachectl.managed_tags()) == [
-        "merge_intervals.deltas",
-        "remove_overlaps.base",
-    ]
+    # two per-call FAMILIES (remove_overlaps.base, merge_intervals
+    # .deltas), each FIFO-bounded at keep=2 (r5 item 6: shared tags
+    # silently recompute when a pipeline holds several lazy results);
+    # async unpersist may briefly hold one stale frame per family
+    assert high_water <= 6, f"storage pool grew to {high_water} cached RDDs"
+    fams = {t.split("#")[0] for t in cachectl.managed_tags()}
+    assert fams == {"merge_intervals.deltas", "remove_overlaps.base"}
+    assert len(cachectl.managed_tags()) <= 4  # keep=2 per family
     released = cachectl.release()
-    assert released == 2
+    assert 2 <= released <= 4
     assert cachectl.managed_tags() == []
     assert _wait_cached_at_most(spark, 0) == 0
 

@@ -165,7 +165,7 @@ def asof_join(
     )
     stream = obs.unionByName(qs)
     if cache:
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
         # the stream feeds the bucket-bounds action plus two plan
         # subtrees (per-bucket carry, bucket last-observations);
@@ -173,7 +173,9 @@ def asof_join(
         # The tag carries the direction so 'nearest' (backward pass
         # consumed lazily by the forward pass) doesn't evict its own
         # still-needed backward stream mid-composition.
-        stream = managed_persist(stream, f"asof_join.stream.{direction}")
+        stream = managed_persist_percall(
+            stream, f"asof_join.stream.{direction}", keep=2
+        )
 
     plan = plan_buckets(stream, group_vars, "__t", n_buckets=n_buckets)
     if plan.empty:

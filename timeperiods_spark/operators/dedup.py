@@ -152,9 +152,11 @@ def minhash_candidate_pairs(
         F.size("hashes") > 0
     )
     if cache_shingles and verify_threshold is not None:
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        sh = managed_persist(sh, "minhash_candidate_pairs.shingles")
+        sh = managed_persist_percall(
+            sh, "minhash_candidate_pairs.shingles", keep=2
+        )
     # The band self-join and the pair dedup carry ONLY (id, band, bsig):
     # shipping the shingle-hash arrays (~doc length) through the band
     # exchange AND the dropDuplicates, multiplied by `bands`, is the
@@ -205,9 +207,11 @@ def minhash_candidate_pairs(
         # first: the probe materializes the cache and every consumer
         # (both self-join sides included) reads it back. Callers that
         # want a fully lazy construction pass hot_bucket_warn=False.
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        banded = managed_persist(banded, "minhash_candidate_pairs.banded")
+        banded = managed_persist_percall(
+            banded, "minhash_candidate_pairs.banded", keep=2
+        )
         st = (
             banded.groupBy("band", "bsig")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -375,10 +379,10 @@ def minhash_dedup_incremental(
         # the returned new_shingles; managed, so repeated batches hold
         # at most one cached frame (stream_dedup_ingest additionally
         # unpersists eagerly once the epoch is materialized)
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        batch_sh = managed_persist(
-            batch_sh, "minhash_dedup_incremental.shingles"
+        batch_sh = managed_persist_percall(
+            batch_sh, "minhash_dedup_incremental.shingles", keep=2
         )
     batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
     if index_bands is None or index_shingles is None:
@@ -717,9 +721,11 @@ def embedding_dedup_incremental(
         # feeds bucketing, the pair verify, and the returned
         # new_vectors; managed so repeated calls in a long session
         # don't accumulate persisted intermediates
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        batch = managed_persist(batch, "embedding_dedup_incremental.batch")
+        batch = managed_persist_percall(
+            batch, "embedding_dedup_incremental.batch", keep=2
+        )
     batch_buckets = batch.select(
         "id", srp_bucket(F.col("v"), dim, n_planes).alias("bucket")
     )
@@ -881,10 +887,10 @@ def simhash_dedup_incremental(
     if cache:
         # feeds chunking, the hamming verify, and the returned
         # new_fingerprints; managed so repeated batches stay bounded
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        batch_sf = managed_persist(
-            batch_sf, "simhash_dedup_incremental.fingerprints"
+        batch_sf = managed_persist_percall(
+            batch_sf, "simhash_dedup_incremental.fingerprints", keep=2
         )
     batch_chunks = _simhash_chunk_frame(batch_sf, bands, w)
     if index_chunks is None or index_fingerprints is None:

@@ -93,9 +93,11 @@ def interval_difference(
         # boundary-sized post-aggregate frame feeding two planner stats
         # actions plus the main plan — scan both sources once;
         # managed, so repeat calls release the previous frame
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        deltas = managed_persist(deltas, "interval_difference.deltas")
+        deltas = managed_persist_percall(
+            deltas, "interval_difference.deltas", keep=2
+        )
 
     plan = plan_buckets(deltas, gcols, "__pos", group_count_hint=group_count_hint)
     excl = lambda wg: wg.rowsBetween(Window.unboundedPreceding, -1)  # noqa: E731

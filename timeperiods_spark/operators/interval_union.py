@@ -83,9 +83,13 @@ def merge_intervals(
         # bucket-planner stats actions plus the main plan — persist so
         # the raw input is scanned once; managed, so repeat calls
         # release the previous frame (cache=False opts out)
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        deltas = managed_persist(deltas, "merge_intervals.deltas")
+        # per-call tag (r5 item 6): pipelines hold several lazy
+        # merge_intervals results at once; a shared tag evict-thrashes
+        deltas = managed_persist_percall(
+            deltas, "merge_intervals.deltas", keep=2
+        )
 
     plan = plan_buckets(
         deltas, gcols, "__pos", group_count_hint=group_count_hint

@@ -165,9 +165,9 @@ def remove_overlaps(
     # releases the previous call's frame, so long-lived sessions hold
     # at most one cached melt (cache=False opts out entirely).
     if cache:
-        from ..plans.cachectl import managed_persist
+        from ..plans.cachectl import managed_persist_percall
 
-        base = managed_persist(base, "remove_overlaps.base")
+        base = managed_persist_percall(base, "remove_overlaps.base", keep=2)
 
     # O21 — melt endpoints into a long event stream
     melted = base.select(*gcols, F.col("__xs").alias("__val"), F.lit(False).alias("__is_end")).unionByName(

@@ -349,7 +349,7 @@ def ngram_repetition(
     exploded frame (managed-persisted once); coverage assembly rides
     the carried interval-union sweep. Everything is JVM expressions —
     no Python in the row path."""
-    from ..plans.cachectl import managed_persist
+    from ..plans.cachectl import managed_persist_percall
     from .interval_union import merge_intervals
 
     ns = [int(n) for n in ns]
@@ -392,7 +392,10 @@ def ngram_repetition(
             ).alias("__gram"),
         )
     )
-    pos = managed_persist(pos, "ngram_repetition.pos")
+    # per-call tag: a sweep over several n-gram settings (or the test
+    # suite) legitimately holds multiple lazy results at once — a
+    # shared tag would evict-thrash and silently recompute (r5 item 6)
+    pos = managed_persist_percall(pos, "ngram_repetition.pos", keep=2)
 
     cnt = pos.groupBy("__id", "__n", "__gram").agg(
         F.count(F.lit(1)).alias("__c")
