@@ -81,6 +81,11 @@ def ngram_jaccard_pairs(
     corpora and the verification oracle for the LSH path. Columns:
     id_a, id_b (id_a < id_b), jaccard."""
     sh = shingle_frame(df, id_col, text_col, k)
+    # both join sides consume the shingle frame; persist so the
+    # compute-heavy shingling map stage runs once, not twice
+    from ..plans.cachectl import managed_persist_percall
+
+    sh = managed_persist_percall(sh, "ngram_jaccard_pairs.shingles", keep=2)
     a = sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -181,11 +186,28 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bsig")
+    # The slim (id, band, bsig) frame is consumed at least twice (both
+    # self-join sides) and up to four times with the hot-bucket cap (its
+    # aggregate builds one broadcast per anti-join side): unpersisted,
+    # the dominant shingle→minhash→banding stage re-runs per consumer —
+    # the r6 bench plan showed FOUR live copies of the signature
+    # subtree (~3 redundant 12-permutation passes over every shingle
+    # set). Persist it ONCE, before any cap/probe subtree forks off, so
+    # every consumer reads the cache (persist alone is lazy, so the
+    # no-warn path stays fully lazy).
+    from ..plans.cachectl import managed_persist_percall
+
+    banded = managed_persist_percall(
+        banded, "minhash_candidate_pairs.banded", keep=2
+    )
 
     if max_bucket_size is not None:
         # hot buckets are by definition FEW (each holds > cap docs),
         # so the key set broadcasts; one map-side-combined aggregate
-        # finds them, one broadcast anti join drops their band rows
+        # finds them, one broadcast anti join drops their band rows.
+        # Both the aggregate and the anti-join probe read the banded
+        # cache; the cheap broadcast-probe filter is re-applied per
+        # consumer instead of re-running the banding.
         hot = (
             banded.groupBy("band", "bsig")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -198,20 +220,9 @@ def minhash_candidate_pairs(
         # caller on boilerplate text then silently pays m^2/2 from one
         # over-popular bucket (VERDICT r4 finding 2). One extra
         # map-side-combined aggregate measures the skew and warns with
-        # the concrete fan-out before the join runs it.
-        #
-        # The probe is an EAGER action; without a cache it would run
-        # the dominant shingle→minhash→banding stage once here and
-        # AGAIN when the returned frame is consumed (~2x at corpus
-        # scale — ADVICE r5). Persist the slim (id, band, bsig) frame
-        # first: the probe materializes the cache and every consumer
-        # (both self-join sides included) reads it back. Callers that
-        # want a fully lazy construction pass hot_bucket_warn=False.
-        from ..plans.cachectl import managed_persist_percall
-
-        banded = managed_persist_percall(
-            banded, "minhash_candidate_pairs.banded", keep=2
-        )
+        # the concrete fan-out before the join runs it. The probe is an
+        # EAGER action over the banded cache persisted above (ADVICE
+        # r5: it materializes the cache every consumer then reads).
         st = (
             banded.groupBy("band", "bsig")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -385,6 +396,17 @@ def minhash_dedup_incremental(
             batch_sh, "minhash_dedup_incremental.shingles", keep=2
         )
     batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
+    if cache:
+        # consumed by the hot-bucket union, the index probe, BOTH sides
+        # of the batch-internal self join, and the returned new_bands —
+        # without a persist each consumer re-runs the 12-permutation
+        # signature pass over the batch's shingle sets (same duplicated
+        # banding subtree the whole-corpus path persists against)
+        from ..plans.cachectl import managed_persist_percall
+
+        batch_bands = managed_persist_percall(
+            batch_bands, "minhash_dedup_incremental.bands", keep=2
+        )
     if index_bands is None or index_shingles is None:
         # cold start: empty index with the right schemas
         if index_bands is not None or index_shingles is not None:
@@ -613,6 +635,12 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # four consumers (both bucket-join sides + both verify re-attach
+    # joins): persist the narrow (id, v) frame so the source scan and
+    # per-plane dot products run once
+    from ..plans.cachectl import managed_persist_percall
+
+    base = managed_persist_percall(base, "embedding_neardup_pairs.base", keep=2)
     bucketed = base.withColumn("__b", srp_bucket(F.col("v"), dim, n_planes))
     if max_bucket_size is not None:
         hot = (
@@ -992,6 +1020,13 @@ def simhash_pairs(
         raise ValueError("bands must divide bits")
     w = bits // bands
     sf = simhash_frame(df, id_col, text_col, k=k, bits=bits, hash_fn=hash_fn)
+    # the (id, simhash) frame feeds both self-join sides (and the
+    # optional hot-bucket aggregate): persist so the shingle + 64-bit
+    # majority-vote fingerprint stage — the dominant map cost — runs
+    # once instead of once per consumer
+    from ..plans.cachectl import managed_persist_percall
+
+    sf = managed_persist_percall(sf, "simhash_pairs.fingerprints", keep=2)
     banded = sf.select(
         "id",
         "simhash",

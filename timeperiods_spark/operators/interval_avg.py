@@ -48,6 +48,14 @@ _EPOCH = "1970-01-01"
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+#: per-call persist gates for the double-consumed join inputs (rows).
+#: xw is ~40 B/row after projection, so the cap bounds the cache at a
+#: couple of GB cluster-wide — far cheaper than re-running the upstream
+#: pipeline for the bin-width sample; above the cap the persist is
+#: skipped and behavior is unchanged.
+_X_PERSIST_MAX_ROWS = 50_000_000
+_Y_PERSIST_MAX_ROWS = 100_000_000
+
 
 def _is_intervalish(dtype: T.DataType) -> bool:
     return isinstance(dtype, _INT_TYPES) or isinstance(dtype, T.DateType)
@@ -386,6 +394,33 @@ def interval_weighted_avg(
         )
 
     yd = yw if assume_y_distinct else yw.dropDuplicates(ygcols + ["__ys", "__ye"])
+
+    # Size-gated per-call persists (pure plan reuse, no semantic
+    # effect). yd always has TWO consumers — the overlap join and the
+    # completion join — so unpersisted, the whole y subtree (dedup
+    # shuffle included) executes twice. xw gains a second consumer
+    # whenever the bin strategy must SAMPLE interval lengths to pick a
+    # width (strategy auto/bin with no explicit bin_width): the sample
+    # otherwise re-executes the full upstream x pipeline. Both persists
+    # are gated on sizes the caller (or the auto-stats action) already
+    # knows, so a 100 TB x is never spooled to cache just to save a
+    # 10k-row sample, while panel-sized inputs skip the duplicate
+    # subtree executions (measured: the r6 iwa_orders plan held two
+    # live copies of the y distinct+cross subtree).
+    if join_stats is not None:
+        from ..plans.cachectl import managed_persist_percall
+
+        _nx = join_stats[0] if len(join_stats) > 0 else None
+        _ny = join_stats[1] if len(join_stats) > 1 else None
+        if (
+            _nx is not None
+            and int(_nx) <= _X_PERSIST_MAX_ROWS
+            and bin_width is None
+            and join_strategy in ("auto", "bin")
+        ):
+            xw = managed_persist_percall(xw, "interval_weighted_avg.x", keep=2)
+        if _ny is not None and int(_ny) <= _Y_PERSIST_MAX_ROWS:
+            yd = managed_persist_percall(yd, "interval_weighted_avg.y", keep=2)
     _vlog(
         f"plan: join_strategy={join_strategy!r} n_groups={n_g} "
         f"n_values={n_v} y_dedup={not assume_y_distinct} "

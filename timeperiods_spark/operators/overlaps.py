@@ -74,23 +74,33 @@ def _lead_with_boundary_handoff(
             F.lit(None).cast("long").alias("__next_val"),
         ).filter(F.lit(False))
     # forward handoff: each bucket's lead comes from the group's NEXT
-    # non-empty bucket's first row — min over a (val, is_end) struct per
-    # bucket, then lead() over the tiny per-bucket frame
+    # non-empty bucket's first row. The (val, is_end) pair is packed
+    # into ONE long — 2*val + is_end — which orders identically
+    # (strictly monotone in the (val, is_end) lexicographic order) but
+    # keeps the bucket aggregate a plain min(long): min over a STRUCT
+    # is not hash-aggregable in Spark and planned as a SortAggregate,
+    # i.e. a full sort of the melted event stream just to build the
+    # tiny handoff frame (measured in the r6 remove_overlaps plan).
+    # Unpack via shiftright (floor-div-2, exact for negatives) and
+    # bit 0. Bound: |val| < 2^62 or the *2 trips ANSI overflow — far
+    # above the engine's stated exact grid range.
+    packed = F.col("__val") * F.lit(2) + F.col("__is_end").cast("long")
     stitched = attach_carry(
         plan,
-        [F.min(F.struct("__val", "__is_end")).alias("__f")],
-        lambda wg: [
-            F.lead("__f.__val").over(wg).alias("__h_val"),
-            F.lead("__f.__is_end").over(wg).alias("__h_end"),
-        ],
+        [F.min(packed).alias("__fp")],
+        lambda wg: [F.lead("__fp").over(wg).alias("__hp")],
     )
+    h_end = F.when(
+        F.col("__hp").isNotNull(), F.col("__hp").bitwiseAND(F.lit(1)) == 1
+    )
+    h_val = F.shiftright(F.col("__hp"), 1)
     w = Window.partitionBy(*gcols, "__bk").orderBy("__val", "__is_end")
     out = stitched.select(
         *gcols,
         "__val",
         "__is_end",
-        F.coalesce(F.lead("__is_end").over(w), F.col("__h_end")).alias("__next_end"),
-        F.coalesce(F.lead("__val").over(w), F.col("__h_val")).alias("__next_val"),
+        F.coalesce(F.lead("__is_end").over(w), h_end).alias("__next_end"),
+        F.coalesce(F.lead("__val").over(w), h_val).alias("__next_val"),
     )
     return out.filter(F.col("__next_end").isNotNull())
 
@@ -194,6 +204,19 @@ def remove_overlaps(
         F.when(~F.col("__is_end"), F.col("__val")).otherwise(F.col("__val") + 1).alias("__as"),
         F.when(~F.col("__next_end"), F.col("__next_val") - 1).otherwise(F.col("__next_val")).alias("__ae"),
     ).filter(F.col("__ae") >= F.col("__as"))
+    # atomic feeds TWO consumers: the join-back below and (when no
+    # bin_width is given) the bin-width estimator's sample inside
+    # build_overlap_pairs — unpersisted, the whole melt→window→stitch
+    # sweep executed twice per call (measured ~2x the sweep cost in the
+    # r6 bench). The frame is small (<= 2 rows per input interval,
+    # group keys + 2 longs), so the per-call persist is cheap at any
+    # scale; managed, same lifecycle as the base melt above.
+    if cache:
+        from ..plans.cachectl import managed_persist_percall
+
+        atomic = managed_persist_percall(
+            atomic, "remove_overlaps.atomic", keep=2
+        )
 
     # O24 — tag each atomic piece with every original interval covering
     # it. Reuse the range-join strategies: originals are the x side,
