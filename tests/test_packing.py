@@ -170,6 +170,52 @@ def test_ngram_contamination(spark):
     assert 12 not in out  # no grams -> no row (nothing to scrub on)
 
 
+def test_ngram_contamination_hash_grams_equivalent(spark):
+    """hash_grams=True (the production 8-byte-key setting) must agree
+    with the exact-array formulation — collisions are ~2^-64 per gram
+    pair and cannot occur on this corpus — and its exchanges must not
+    carry the gram arrays."""
+    import re
+
+    from timeperiods_spark.operators.tokenstats import ngram_contamination
+
+    train = _docs(
+        spark,
+        [(i, [i % 7, (i * 3) % 11, (i * 5) % 13, i % 4, (i + 1) % 9], "a")
+         for i in range(40)],
+    )
+    test = _docs(
+        spark,
+        [(100 + i, [(i + 2) % 7, (i * 3) % 11, (i * 5) % 13, 99], "a")
+         for i in range(15)],
+    )
+
+    def rows(hash_grams):
+        return sorted(
+            (r["doc_id"], r["n_grams"], r["n_hit"], round(r["frac_hit"], 9))
+            for r in ngram_contamination(
+                test, train, "tokens", "doc_id", n=3, hash_grams=hash_grams
+            ).collect()
+        )
+
+    assert rows(True) == rows(False)
+
+    hashed = ngram_contamination(
+        test, train, "tokens", "doc_id", n=3, hash_grams=True
+    )
+    plan = hashed._sc._jvm.PythonSQLUtils.explainString(
+        hashed._jdf.queryExecution(), "formatted"
+    )
+    # every exchange keyed by the gram key must carry the 8-byte hash,
+    # never an ngram array column
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exchanges, plan[:1500]
+    for cols in exchanges:
+        assert "ngram" not in cols, cols
+
+
 def test_topk_per_group_exact_and_deterministic(spark):
     df = _docs(
         spark,

@@ -629,15 +629,19 @@ def embedding_neardup_pairs(
     guard and recall trade-off as :func:`minhash_candidate_pairs`.
     The cap keys on a row's OWN bucket, so a capped bucket neither
     probes nor is probed."""
-    from .similarity import cosine, srp_bucket, srp_probe_buckets
+    from .similarity import _cosine_pre, _norm, srp_bucket, srp_probe_buckets
 
     base = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("__n", _norm(F.col("v")))
     # four consumers (both bucket-join sides + both verify re-attach
-    # joins): persist the narrow (id, v) frame so the source scan and
-    # per-plane dot products run once
+    # joins): persist the narrow (id, v, norm) frame so the source scan
+    # and per-plane dot products run once. The norm rides in the cache,
+    # so the verify join scores each candidate pair with ONE dot-product
+    # array pass instead of re-deriving both norms per pair (the
+    # single-expression cosine() evaluates each norm twice — lambda
+    # aggregates are invisible to subexpression elimination).
     from ..plans.cachectl import managed_persist_percall
 
     base = managed_persist_percall(base, "embedding_neardup_pairs.base", keep=2)
@@ -664,12 +668,26 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     withvecs = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        base.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("v_a"),
+            F.col("__n").alias("n_a"),
+        ),
+        "id_a",
     ).join(
-        base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
+        base.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("v_b"),
+            F.col("__n").alias("n_b"),
+        ),
+        "id_b",
     )
     return withvecs.select(
-        "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine")
+        "id_a",
+        "id_b",
+        _cosine_pre(
+            F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -739,7 +757,7 @@ def embedding_dedup_incremental(
     (batch << corpus index), turning the index probe into a map-side
     join over the index scan.
     """
-    from .similarity import cosine, srp_bucket, srp_probe_buckets
+    from .similarity import srp_bucket, srp_probe_buckets
 
     batch = spread_input(new_batch).select(
         F.col(id_col).alias("id"),
@@ -797,19 +815,38 @@ def embedding_dedup_incremental(
     )
     cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
 
+    # norms attach per ROW before the pair join (one array pass each),
+    # so the verify scores each candidate with a single dot-product
+    # pass — cosine()'s single-expression form would re-derive both
+    # norms (twice each) per PAIR
+    from .similarity import _cosine_pre, _norm
+
     all_vecs = index_vectors.select("id", "v").unionByName(
         batch.select("id", "v")
-    )
+    ).withColumn("__n", _norm(F.col("v")))
     withvecs = cand.join(
-        all_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")),
+        all_vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("v_a"),
+            F.col("__n").alias("n_a"),
+        ),
         "id_a",
     ).join(
-        batch.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")),
+        batch.select("id", "v")
+        .withColumn("__n", _norm(F.col("v")))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("v_b"),
+            F.col("__n").alias("n_b"),
+        ),
         "id_b",
     )
     losers = (
         withvecs.select(
-            "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos")
+            "id_b",
+            _cosine_pre(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("id_b").alias(id_col))

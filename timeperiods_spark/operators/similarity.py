@@ -46,8 +46,25 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns (NULL when
-    either norm is zero)."""
+    either norm is zero).
+
+    NOTE for hot paths: this single-expression form evaluates each
+    norm twice (the guard and the value) and re-derives both norms per
+    PAIR — Catalyst's subexpression elimination skips lambda-bearing
+    aggregates, so nothing is shared. The batch operators below instead
+    attach each side's norm once per ROW and combine with
+    :func:`_cosine_pre`, cutting a k-NN scoring projection from five
+    array passes per pair to one. Same expressions, same float
+    evaluation order, bit-identical results."""
     return _dot(a, b) / F.when(_norm(a) * _norm(b) > 0, _norm(a) * _norm(b))
+
+
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine from precomputed norms: one _dot pass per pair, two
+    scalar multiplies. ``na``/``nb`` must be ``_norm`` of ``a``/``b``
+    in the SAME order so the product na*nb reproduces the public
+    :func:`cosine`'s norm(a)*norm(b) float product exactly."""
+    return _dot(a, b) / F.when(na * nb > 0, na * nb)
 
 
 def _ranked_topk(scored: DataFrame, k: int, partial_topk: bool) -> DataFrame:
@@ -106,15 +123,17 @@ def cosine_topk(
     c = spread_input(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        _cosine_pre(
+            F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k, partial_topk)
 
@@ -218,11 +237,13 @@ def cosine_topk_lsh(
     c = spread_input(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__bucket", srp_bucket(F.col("__cv"), dim, n_planes))
+    ).withColumn("__cn", _norm(F.col("__cv"))).withColumn(
+        "__bucket", srp_bucket(F.col("__cv"), dim, n_planes)
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn(
+    ).withColumn("__qn", _norm(F.col("__qv"))).withColumn(
         "__bucket",
         F.explode(
             srp_probe_buckets(
@@ -233,7 +254,9 @@ def cosine_topk_lsh(
     scored = c.join(F.broadcast(q), "__bucket").select(
         "query_id",
         "vec_id",
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        _cosine_pre(
+            F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")
+        ).alias("cosine"),
     )
     if probes > 0:
         # a corpus vector can match a query through several probe
@@ -271,13 +294,46 @@ def _ivf_scores(vec: Column, dim: int, n_centroids: int) -> list[Column]:
 def ivf_cell(vec: Column, dim: int, n_centroids: int) -> Column:
     """Inverted-file cell id: index of the nearest centroid by cosine
     (ties -> smallest index, via greatest() + first-match CASE — the
-    same shape the SQL twin uses, so comparisons are bit-identical)."""
+    same shape the SQL twin uses, so comparisons are bit-identical).
+
+    NOTE for hot paths: as one expression, greatest() + the CASE chain
+    evaluates every centroid score twice (2 x n_centroids array
+    aggregates per row — lambda-bearing aggregates are invisible to
+    subexpression elimination). The operators below use
+    :func:`_with_ivf_cell`, which materializes the score array in its
+    own projection and argmaxes it once; identical tie semantics
+    (array_position finds the FIRST equal element, like the
+    first-match CASE)."""
     scores = _ivf_scores(vec, dim, n_centroids)
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     out = F.when(scores[0] == best, F.lit(0))
     for c in range(1, n_centroids):
         out = out.when(scores[c] == best, F.lit(c))
     return out.cast("int")
+
+
+def _with_ivf_cell(
+    df: DataFrame, vec_col: str, out_col: str, dim: int, n_centroids: int
+) -> DataFrame:
+    """Attach the IVF cell id evaluating each centroid score ONCE: the
+    score array gets its own projection (CollapseProject keeps a
+    non-cheap alias that is referenced twice), then the cell is
+    array_position(scores, array_max(scores)) - 1 — the same value the
+    greatest+CASE form yields for every input, including NULL vectors
+    (both produce NULL) and ties (both take the smallest index)."""
+    tmp = f"__{out_col}_scores"
+    return (
+        df.withColumn(
+            tmp, F.array(*_ivf_scores(F.col(vec_col), dim, n_centroids))
+        )
+        .withColumn(
+            out_col,
+            (
+                F.array_position(F.col(tmp), F.array_max(F.col(tmp))) - 1
+            ).cast("int"),
+        )
+        .drop(tmp)
+    )
 
 
 def ivf_query_cells(vec: Column, dim: int, n_centroids: int, n_probe: int) -> Column:
@@ -317,12 +373,12 @@ def build_ivf_index(
     no rebuild (centroids are deterministic in the vector dim)."""
     from ..functions.grid import spread_input
 
-    return spread_input(corpus).select(
+    base = spread_input(corpus).select(
         F.col(id_col).alias("vec_id"),
-        ivf_cell(
-            F.col(vec_col).cast("array<double>"), dim, n_centroids
-        ).alias("cell"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return _with_ivf_cell(base, "v", "cell", dim, n_centroids).select(
+        "vec_id", "cell", "v"
     )
 
 
@@ -346,14 +402,20 @@ def cosine_topk_ivf_index(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn(
+    ).withColumn("__qn", _norm(F.col("__qv"))).withColumn(
         "cell",
         F.explode(ivf_query_cells(F.col("__qv"), dim, n_centroids, n_probe)),
     )
-    scored = index.join(F.broadcast(q), "cell").select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("v"), F.col("__qv")).alias("cosine"),
+    scored = (
+        index.withColumn("__cn", _norm(F.col("v")))
+        .join(F.broadcast(q), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine_pre(
+                F.col("v"), F.col("__qv"), F.col("__cn"), F.col("__qn")
+            ).alias("cosine"),
+        )
     )
     return _ranked_topk(scored, k, partial_topk)
 
@@ -381,20 +443,25 @@ def cosine_topk_ivf(
     row), so no dedup precedes ranking."""
     from ..functions.grid import spread_input
 
-    c = spread_input(corpus).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cell", ivf_cell(F.col("__cv"), dim, n_centroids))
+    c = _with_ivf_cell(
+        spread_input(corpus).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("__cn", _norm(F.col("__cv"))),
+        "__cv", "__cell", dim, n_centroids,
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn(
+    ).withColumn("__qn", _norm(F.col("__qv"))).withColumn(
         "__cell",
         F.explode(ivf_query_cells(F.col("__qv"), dim, n_centroids, n_probe)),
     )
     scored = c.join(F.broadcast(q), "__cell").select(
         "query_id",
         "vec_id",
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        _cosine_pre(
+            F.col("__cv"), F.col("__qv"), F.col("__cn"), F.col("__qn")
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k, partial_topk)
