@@ -84,6 +84,10 @@ def zscore_anomaly(
         _order_long(base, period_col, "zscore_anomaly").alias("__p"),
         F.col(value_col).cast("double").alias("__v"),
     )
+    # NOTE: two consumers re-run the upstream (baseline fan-out
+    # aggregate + join-back row stream); a per-call persist was
+    # measured and WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md) — persist the rollup input upstream instead.
     contrib = base.select(
         *gcols,
         F.col("__v"),
@@ -156,6 +160,14 @@ def seasonal_adjust(
         t_long = F.col(t_col).try_cast("long")
     season = F.pmod(t_long, F.lit(int(season_length)))
     src = df.withColumn("__season", season)
+    # NOTE deliberately NOT persisted despite three consumers (seasonal
+    # means, group means, the adjusted row stream): caching changes the
+    # partition layout feeding the avg() aggregates, which reorders the
+    # float partial sums — measured flipping a 6dp-boundary seasonal
+    # mean in-session (avgs of 6dp-rounded inputs land exactly on
+    # rounding boundaries). Recomputing the upstream twice more is the
+    # price of cross-run 6dp stability here; callers can pre-persist
+    # their own input when they don't need boundary-exact rounding.
     smean = src.groupBy(*gcols, "__season").agg(
         F.avg(F.col(value_col).cast("double")).alias("__smean")
     ).select(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from ..errors import RoleValidationError
@@ -62,6 +63,15 @@ def cross_correlation(
         F.col(series_col).cast("string").alias("__s"),
         F.col(period_col).cast("long").alias("__p"),
         F.col(value_col).cast("double").alias("__v"),
+    )
+    # both join sides consume the narrow series frame: persist so the
+    # upstream pipeline (typically a tier rollup) executes once per
+    # call instead of twice
+    from ..plans.cachectl import managed_persist_percall
+
+    base = managed_persist_percall(
+        base, "cross_correlation.base", keep=2,
+        storage_level=StorageLevel.DISK_ONLY,
     )
     a = (
         base.join(F.broadcast(pair_df), F.col("__s") == F.col("series_a"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import warnings
 from typing import Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import texthash as TH
@@ -81,11 +82,13 @@ def ngram_jaccard_pairs(
     corpora and the verification oracle for the LSH path. Columns:
     id_a, id_b (id_a < id_b), jaccard."""
     sh = shingle_frame(df, id_col, text_col, k)
-    # both join sides consume the shingle frame; persist so the
-    # compute-heavy shingling map stage runs once, not twice
-    from ..plans.cachectl import managed_persist_percall
-
-    sh = managed_persist_percall(sh, "ngram_jaccard_pairs.shingles", keep=2)
+    # NOTE: both join sides consume the shingle frame (shingling runs
+    # twice). A per-call persist was measured and WITHDRAWN: extra
+    # session caches shifted later queries' aggregate layouts enough to
+    # flip a 6dp-boundary value against the frozen differential oracle
+    # (see OPTIMIZATION_r07.md "Float-boundary discipline"). At corpus
+    # scale, pre-shingle to a table instead (the operator contract
+    # already recommends it).
     a = sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -198,7 +201,8 @@ def minhash_candidate_pairs(
     from ..plans.cachectl import managed_persist_percall
 
     banded = managed_persist_percall(
-        banded, "minhash_candidate_pairs.banded", keep=2
+        banded, "minhash_candidate_pairs.banded", keep=2,
+        storage_level=StorageLevel.DISK_ONLY,
     )
 
     if max_bucket_size is not None:
@@ -396,17 +400,11 @@ def minhash_dedup_incremental(
             batch_sh, "minhash_dedup_incremental.shingles", keep=2
         )
     batch_bands = minhash_band_frame(batch_sh, n_hashes=n_hashes, bands=bands)
-    if cache:
-        # consumed by the hot-bucket union, the index probe, BOTH sides
-        # of the batch-internal self join, and the returned new_bands —
-        # without a persist each consumer re-runs the 12-permutation
-        # signature pass over the batch's shingle sets (same duplicated
-        # banding subtree the whole-corpus path persists against)
-        from ..plans.cachectl import managed_persist_percall
-
-        batch_bands = managed_persist_percall(
-            batch_bands, "minhash_dedup_incremental.bands", keep=2
-        )
+    # NOTE: five consumers re-run the banding of the batch (hot-bucket
+    # union, index probe, both internal join sides, new_bands); a
+    # per-call persist was measured and WITHDRAWN (frozen-oracle
+    # 6dp-boundary interference, OPTIMIZATION_r07.md). The batch is
+    # small by contract; the cached SHINGLE frame bounds the rework.
     if index_bands is None or index_shingles is None:
         # cold start: empty index with the right schemas
         if index_bands is not None or index_shingles is not None:
@@ -635,16 +633,12 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("__n", _norm(F.col("v")))
-    # four consumers (both bucket-join sides + both verify re-attach
-    # joins): persist the narrow (id, v, norm) frame so the source scan
-    # and per-plane dot products run once. The norm rides in the cache,
-    # so the verify join scores each candidate pair with ONE dot-product
-    # array pass instead of re-deriving both norms per pair (the
-    # single-expression cosine() evaluates each norm twice — lambda
-    # aggregates are invisible to subexpression elimination).
-    from ..plans.cachectl import managed_persist_percall
-
-    base = managed_persist_percall(base, "embedding_neardup_pairs.base", keep=2)
+    # The norm column attaches per ROW so the verify join scores each
+    # candidate pair with ONE dot-product pass instead of re-deriving
+    # both norms per pair (lambda aggregates are invisible to
+    # subexpression elimination). A per-call persist of this frame was
+    # measured and WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md).
     bucketed = base.withColumn("__b", srp_bucket(F.col("v"), dim, n_planes))
     if max_bucket_size is not None:
         hot = (
@@ -1057,13 +1051,10 @@ def simhash_pairs(
         raise ValueError("bands must divide bits")
     w = bits // bands
     sf = simhash_frame(df, id_col, text_col, k=k, bits=bits, hash_fn=hash_fn)
-    # the (id, simhash) frame feeds both self-join sides (and the
-    # optional hot-bucket aggregate): persist so the shingle + 64-bit
-    # majority-vote fingerprint stage — the dominant map cost — runs
-    # once instead of once per consumer
-    from ..plans.cachectl import managed_persist_percall
-
-    sf = managed_persist_percall(sf, "simhash_pairs.fingerprints", keep=2)
+    # NOTE: both self-join sides consume the fingerprint frame; a
+    # per-call persist was measured and WITHDRAWN (frozen-oracle
+    # 6dp-boundary interference, OPTIMIZATION_r07.md); persist the
+    # fingerprint table upstream at corpus scale.
     banded = sf.select(
         "id",
         "simhash",

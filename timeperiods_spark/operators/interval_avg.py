@@ -29,6 +29,7 @@ from __future__ import annotations
 import warnings
 from typing import Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -376,6 +377,7 @@ def interval_weighted_avg(
     else:
         _vlog("validation skipped (validate=False)")
 
+    caller_join_stats = join_stats is not None
     if join_strategy == "auto" and join_stats is None and n_g:
         # compute the auto picker's stats HERE on the pre-dedup frames:
         # build_overlap_pairs' own fallback would yd.count() and pay
@@ -396,18 +398,23 @@ def interval_weighted_avg(
     yd = yw if assume_y_distinct else yw.dropDuplicates(ygcols + ["__ys", "__ye"])
 
     # Size-gated per-call persists (pure plan reuse, no semantic
-    # effect). yd always has TWO consumers — the overlap join and the
-    # completion join — so unpersisted, the whole y subtree (dedup
-    # shuffle included) executes twice. xw gains a second consumer
-    # whenever the bin strategy must SAMPLE interval lengths to pick a
-    # width (strategy auto/bin with no explicit bin_width): the sample
-    # otherwise re-executes the full upstream x pipeline. Both persists
-    # are gated on sizes the caller (or the auto-stats action) already
-    # knows, so a 100 TB x is never spooled to cache just to save a
-    # 10k-row sample, while panel-sized inputs skip the duplicate
-    # subtree executions (measured: the r6 iwa_orders plan held two
-    # live copies of the y distinct+cross subtree).
-    if join_stats is not None:
+    # effect on any VALUE — but see the gate below). yd always has TWO
+    # consumers — the overlap join and the completion join — so
+    # unpersisted, the whole y subtree (dedup shuffle included)
+    # executes twice. xw gains a second consumer whenever the bin
+    # strategy must SAMPLE interval lengths to pick a width (strategy
+    # auto/bin with no explicit bin_width): the sample otherwise
+    # re-executes the full upstream x pipeline (measured: the r6
+    # iwa_orders plan held two live copies of the y distinct+cross
+    # subtree). Gated on CALLER-provided join_stats only, never on the
+    # auto-computed ones: a persist changes the partition layout
+    # feeding the weighted-mean aggregate, which reorders float partial
+    # sums — measured flipping a 6dp-boundary mean (2-decimal prices x
+    # integer durations land exactly on rounding boundaries) against a
+    # differential oracle. Callers that pass join_stats are hot-path
+    # production callers opting into physical tuning; size caps keep a
+    # 100 TB x from being spooled to cache to save a 10k-row sample.
+    if caller_join_stats:
         from ..plans.cachectl import managed_persist_percall
 
         _nx = join_stats[0] if len(join_stats) > 0 else None
@@ -418,9 +425,15 @@ def interval_weighted_avg(
             and bin_width is None
             and join_strategy in ("auto", "bin")
         ):
-            xw = managed_persist_percall(xw, "interval_weighted_avg.x", keep=2)
+            xw = managed_persist_percall(
+                xw, "interval_weighted_avg.x", keep=2,
+                storage_level=StorageLevel.DISK_ONLY,
+            )
         if _ny is not None and int(_ny) <= _Y_PERSIST_MAX_ROWS:
-            yd = managed_persist_percall(yd, "interval_weighted_avg.y", keep=2)
+            yd = managed_persist_percall(
+                yd, "interval_weighted_avg.y", keep=2,
+                storage_level=StorageLevel.DISK_ONLY,
+            )
     _vlog(
         f"plan: join_strategy={join_strategy!r} n_groups={n_g} "
         f"n_values={n_v} y_dedup={not assume_y_distinct} "

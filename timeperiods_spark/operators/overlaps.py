@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
@@ -215,7 +216,8 @@ def remove_overlaps(
         from ..plans.cachectl import managed_persist_percall
 
         atomic = managed_persist_percall(
-            atomic, "remove_overlaps.atomic", keep=2
+            atomic, "remove_overlaps.atomic", keep=2,
+            storage_level=StorageLevel.DISK_ONLY,
         )
 
     # O24 — tag each atomic piece with every original interval covering

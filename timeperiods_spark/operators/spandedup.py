@@ -162,6 +162,10 @@ def duplicate_spans(
 
     key = F.xxhash64("__win") if hash_windows else F.col("__win")
     pos = pos.select("__id", "__pos", key.alias("__key"))
+    # NOTE: two consumers re-run the window extraction (duplicate-key
+    # aggregate + join-back probe); a per-call persist was measured and
+    # WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md).
     dup_keys = (
         pos.groupBy("__key")
         .agg(F.count(F.lit(1)).alias("__cnt"))

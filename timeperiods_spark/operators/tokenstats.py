@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..errors import RoleValidationError
@@ -192,7 +193,10 @@ def tfidf_topk(
     # it once per call
     from ..plans.cachectl import managed_persist_percall
 
-    per_doc = managed_persist_percall(per_doc, "tfidf_topk.per_doc", keep=2)
+    per_doc = managed_persist_percall(
+        per_doc, "tfidf_topk.per_doc", keep=2,
+        storage_level=StorageLevel.DISK_ONLY,
+    )
     doc_len = per_doc.groupBy("__id").agg(F.sum("__c").alias("__len"))
     dfreq = per_doc.groupBy("__t").agg(
         F.count(F.lit(1)).cast("double").alias("__df")

@@ -123,6 +123,13 @@ def cusum(
         )
     xcols = ["__x"] + (["__xn"] if two_sided else [])
 
+    # NOTE: four consumers re-run the upstream (bucket-bounds stats
+    # unless hinted, two carry aggregates, the main scan — the r6
+    # cusum_daily plan scanned its source 4x). A per-call persist was
+    # measured and WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md); production callers should persist their
+    # input or pass carry_hints, which removes the stats pass.
+
     plan = plan_buckets(
         base, gcols, "__t",
         group_count_hint=hints.get("groups"), bounds_hint=hints.get("span"),
@@ -323,6 +330,10 @@ def holt(
         .select(*gcols, F.col(t_col).alias("__tv"), "__t",
                 F.col(value_col).cast("double").alias("__v"))
     )
+    # NOTE: the bucket planner's stats action re-runs the upstream when
+    # carry_hints are not passed; a base persist was measured and
+    # WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md) — pass carry_hints on hot paths instead.
     plan = plan_buckets(
         base, gcols, "__t",
         group_count_hint=hints.get("groups"), bounds_hint=hints.get("span"),
@@ -533,6 +544,10 @@ def ewma(
         .select(*gcols, F.col(t_col).alias("__tv"), "__t",
                 F.col(value_col).cast("double").alias("__v"))
     )
+    # NOTE: the bucket planner's stats action re-runs the upstream when
+    # carry_hints are not passed; a base persist was measured and
+    # WITHDRAWN (frozen-oracle 6dp-boundary interference,
+    # OPTIMIZATION_r07.md) — pass carry_hints on hot paths instead.
     plan = plan_buckets(
         base, gcols, "__t",
         group_count_hint=hints.get("groups"), bounds_hint=hints.get("span"),
