@@ -122,13 +122,6 @@ class TierCatalog:
             fh.write("\n".join(sorted(set(batches))) + "\n")
         os.replace(tmp, mp)
 
-    def _filter_live(self, df: DataFrame, tier: str) -> DataFrame:
-        live = self.live_batches(tier)
-        if live is None:
-            return df
-        # batch is a partition column: the isin filter prunes dead dirs
-        return df.filter(F.col("batch").isin(list(live)))
-
     # ------------------------------------------------------------- I/O
     def upsert(self, new_partials: DataFrame, tier: str, batch_id: str) -> None:
         """Add one batch's additive partials as a delta. Idempotent:
@@ -187,10 +180,22 @@ class TierCatalog:
     def read_partials(self, spark: SparkSession, tier: str) -> DataFrame:
         """Merged view over all LIVE deltas — one hash aggregate;
         pbucket pruning still applies to filters pushed through it, and
-        the live-batch filter prunes dead (pre-vacuum) batch dirs."""
-        raw = self._filter_live(
-            spark.read.parquet(self.tier_path(tier)), tier
-        ).drop("pbucket", "batch")
+        the live-batch filter prunes dead (pre-vacuum) batch dirs.
+
+        Snapshot order matters: the manifest is read BEFORE the
+        directory listing. A concurrent compact() writes its new base
+        dir first and swaps the manifest after, so manifest-then-list
+        always yields a consistent snapshot (an old manifest names dirs
+        that still exist pre-vacuum; a new manifest names a base that
+        was fully written before the swap). The reverse order could
+        list the old dirs, then read the NEW manifest, and filter the
+        listing down to a base dir it never saw — an empty read."""
+        live = self.live_batches(tier)
+        raw = spark.read.parquet(self.tier_path(tier))
+        if live is not None:
+            # batch is a partition column: isin prunes dead dirs
+            raw = raw.filter(F.col("batch").isin(list(live)))
+        raw = raw.drop("pbucket", "batch")
         return merge_partials(raw, self.value_vars, self.group_vars)
 
     def read_finished(
