@@ -152,24 +152,42 @@ def main() -> None:
         if os.path.exists(BUSY_FLAG) or os.path.exists(bench.BENCH_FLAG):
             time.sleep(args.probe_every)
             continue
-        # neediest (cores, n_docs) first: a slow leg with no clean rep
-        # beats everything; larger sizes preferred (smaller fixed-cost
-        # share) but a persistent miss streak rotates to smaller sizes
-        # whose shorter legs fit shorter quiet windows
+        # neediest (cores, n_docs) first: order every pair leg by its
+        # (clean-rep count, total reps) so a leg with NO clean rep
+        # always beats re-running one that already has several — the
+        # old pair-summary gate never fired at cold start (summarize
+        # emits a pair only when BOTH legs have reps, so a clean-leg
+        # streak kept re-running the slow leg forever); larger sizes
+        # preferred (smaller fixed-cost share), and a persistent miss
+        # streak still rotates down the list
         want: list[tuple[int, int]] = []
+        recs_all = []
+        if os.path.exists(args.state):
+            with open(args.state) as f:
+                recs_all = [json.loads(ln) for ln in f if ln.strip()]
+        leg_cores = sorted({c for p in pairs for c in p})
         for nd in sizes:
-            summ = summarize(args.state, pairs, nd)
-            for lo, hi in pairs:
-                p = summ.get(f"pair_{lo}_{hi}", {})
-                if not p.get("slow_leg_clean"):
-                    want.append((lo, nd))
-            for lo, hi in pairs:
-                p = summ.get(f"pair_{lo}_{hi}", {})
-                if not p.get("fast_leg_clean"):
-                    want.append((hi, nd))
+            recs = [r for r in recs_all if r.get("n_docs") == nd]
+            stats = {
+                c: (
+                    sum(1 for r in recs if r["cores"] == c and r["clean"]),
+                    sum(1 for r in recs if r["cores"] == c),
+                )
+                for c in leg_cores
+            }
+            for c in sorted(leg_cores, key=lambda c: stats[c]):
+                if stats[c][0] == 0:
+                    want.append((c, nd))
         for nd in sizes:
-            for lo, hi in pairs:
-                want += [(lo, nd), (hi, nd)]
+            recs = [r for r in recs_all if r.get("n_docs") == nd]
+            stats = {
+                c: (
+                    sum(1 for r in recs if r["cores"] == c and r["clean"]),
+                    sum(1 for r in recs if r["cores"] == c),
+                )
+                for c in leg_cores
+            }
+            want += [(c, nd) for c in sorted(leg_cores, key=lambda c: stats[c])]
         cores, nd = want[min(miss_streak // 4, len(want) - 1)]
         if _quiet_now(min(4, cores)):
             rec = run_leg(cores, nd, args.state)
