@@ -58,6 +58,11 @@ def _sha() -> str:
 
 def _quiet_now(width: int, need: int = 2) -> bool:
     thr = bench._probe_threshold(width)
+    # warm burn, unjudged: the FIRST probe after a long idle sleep pays
+    # the CPU frequency ramp + cold caches and reads ~0.4s on a genuinely
+    # quiet host — judging it made the hunter miss every 45s cycle once
+    # the machine had nothing else keeping the clocks up
+    bench._cpu_probe(width)
     for _ in range(need):
         if bench._cpu_probe(width) > thr:
             return False

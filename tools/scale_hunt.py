@@ -40,6 +40,9 @@ LEG_FLAG = "/tmp/spark_graft_leg_running"
 def _quiet_now(width: int, need: int = 2) -> bool:
     """`need` consecutive canary samples under the quiet threshold."""
     thr = bench._probe_threshold(width)
+    # warm burn, unjudged: the first probe after a long idle sleep pays
+    # the CPU frequency ramp + cold caches and reads high on a quiet host
+    bench._cpu_probe(width)
     for _ in range(need):
         if bench._cpu_probe(width) > thr:
             return False
