@@ -448,6 +448,82 @@ def test_vacuum_spares_inflight_epoch_dirs(spark, tmp_path):
     assert "__epoch=7" in dix.live_dirs(root)
 
 
+def test_compact_reserves_base_and_vacuum_spares_pending(spark, tmp_path):
+    """ADVICE r6: (a) a concurrent compactor mid-merge is visible as an
+    empty reserved base dir + __pending marker — a second compact_root
+    must pick the NEXT generation name, and vacuum_root must not rmtree
+    the in-flight base; (b) once the marker is gone (crashed compactor,
+    never swapped) the dead dir is reclaimable."""
+    from timeperiods_spark.streaming import dedup_index as dix
+
+    root = str(tmp_path / "bands")
+    small = spark.range(4).selectExpr("id", "id AS band", "array(id) AS bsig")
+    for e in range(3):
+        small.write.parquet(os.path.join(root, f"__epoch={e}"))
+        dix.register_epoch(root, e)
+
+    # simulate compactor A between its reservation and its swap
+    pending = os.path.join(root, "__base0")
+    os.makedirs(pending)
+    open(dix._pending_marker(root, "__base0"), "w").close()
+
+    # a pending base is invisible to legacy discovery readers
+    assert "__base0" not in dix.live_dirs(root)
+
+    # compactor B: skips the reserved name, completes, and its vacuum
+    # (remove_old=True) spares the in-flight base
+    name = dix.compact_root(spark, root, through_epoch=2, remove_old=True)
+    assert name == "__base1"
+    assert dix.live_dirs(root) == ["__base1"]
+    assert os.path.isdir(pending)
+    assert os.path.isfile(dix._pending_marker(root, "__base0"))
+
+    # marker gone (compactor A crashed pre-swap): now it is dead
+    os.remove(dix._pending_marker(root, "__base0"))
+    assert "__base0" in dix.vacuum_root(root)
+    assert not os.path.isdir(pending)
+
+
+def test_concurrent_compactors_exactly_one_wins(spark, tmp_path):
+    """ADVICE r6: two compact_root callers racing on one root never
+    share a base dir and never publish duplicate rows — the loser
+    (fold set already swapped away, or nothing left to merge) returns
+    None and its reserved dir is reclaimed."""
+    import threading
+
+    from timeperiods_spark.streaming import dedup_index as dix
+
+    root = str(tmp_path / "bands")
+    small = spark.range(4).selectExpr("id", "id AS band", "array(id) AS bsig")
+    for e in range(3):
+        small.write.parquet(os.path.join(root, f"__epoch={e}"))
+        dix.register_epoch(root, e)
+
+    results: list = [None, None]
+    errs: list = []
+
+    def compact(slot):
+        try:
+            results[slot] = dix.compact_root(spark, root, through_epoch=2)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    ts = [threading.Thread(target=compact, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1, results
+    assert dix.live_dirs(root) == [winners[0]]
+    rows = sorted(
+        (r["id"], r["band"]) for r in dix.read_live(spark, root).collect()
+    )
+    # 3 epochs x 4 distinct rows, no duplication from a double-publish
+    assert len(rows) == 12 and len(set(rows)) == 4
+
+
 def test_distinct_rollup_stream_matches_batch_sketch(spark, tmp_path):
     """Streaming HLL window partials == the batch sketch of the same
     windows, and they cascade with the batch distinct machinery."""

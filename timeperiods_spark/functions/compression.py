@@ -510,10 +510,15 @@ def decompress_series(
             for g in gv:
                 col = pdf[g]
                 if col.dtype == object or str(col.dtype) == "string":
-                    # dictionary-encode: repeat per-BLOCK codes, not
-                    # millions of Python strings — Arrow then ships a
-                    # DictionaryArray instead of an object column
-                    # (measured dominant in the bulk-decode wall)
+                    # dictionary-encode: np.repeat runs over small int
+                    # CODES instead of an object array of Python
+                    # strings. NOTE (ADVICE r6, verified against
+                    # pyspark 4.1.2): the Arrow serializer casts a
+                    # Categorical back to the categories' dtype before
+                    # conversion (_create_array: astype(categories.
+                    # dtype)), so NO DictionaryArray ships on the wire
+                    # — the win is the cheap int-code repeat in this
+                    # hot loop, not dictionary transfer.
                     codes, cats = pd.factorize(col)
                     out[g] = pd.Categorical.from_codes(
                         np.repeat(codes, reps), categories=cats

@@ -91,6 +91,35 @@ def _present_dirs(root: str) -> List[str]:
     )
 
 
+#: sidecar marker naming a base dir whose compact_root merge is still
+#: in flight (dir on disk, manifest swap not yet run)
+PENDING_PREFIX = "__pending."
+
+
+def _pending_marker(root: str, base_name: str) -> str:
+    return os.path.join(root, PENDING_PREFIX + base_name)
+
+
+def _pending_bases(root: str) -> set:
+    """Base names reserved by an in-flight compact_root (ADVICE r6):
+    the name is chosen and the empty dir + this marker created under
+    the manifest lock, but the expensive merge write runs outside it —
+    without the marker a concurrent vacuum_root would see a non-live
+    base dir and rmtree the merge out from under the swap. A marker
+    left by a CRASHED compactor shields one dead dir until the next
+    successful compact_root of the same root completes (its vacuum
+    drops markers whose base became live; an orphaned never-swapped
+    base stays until manual cleanup — the safe direction)."""
+    if not os.path.isdir(root):
+        return set()
+    return {
+        f[len(PENDING_PREFIX):]
+        for f in os.listdir(root)
+        if f.startswith(PENDING_PREFIX)
+        and os.path.isfile(os.path.join(root, f))
+    }
+
+
 def _epoch_id(name: str) -> Optional[int]:
     """Numeric epoch id of a live-set entry, None for base dirs."""
     if not name.startswith(EPOCH_PREFIX):
@@ -127,9 +156,13 @@ def _write_manifest(root: str, live: List[str], compacted_through: int) -> None:
 
 def live_dirs(root: str) -> List[str]:
     """The directories a reader loads: manifest live set, or (legacy,
-    pre-manifest layout) every epoch/base dir present."""
+    pre-manifest layout) every epoch/base dir present — minus any base
+    a concurrent first-compaction is still writing (pending marker)."""
     live, _ = read_manifest(root)
-    return live if live is not None else _present_dirs(root)
+    if live is not None:
+        return live
+    pend = _pending_bases(root)
+    return [d for d in _present_dirs(root) if d not in pend]
 
 
 def compacted_through(root: str) -> int:
@@ -148,8 +181,10 @@ def register_epoch(root: str, epoch_id: int) -> bool:
             return False
         if live is None:
             # first manifest: adopt everything already on disk (legacy
-            # dirs written before this module existed stay visible)
-            live = _present_dirs(root)
+            # dirs written before this module existed stay visible) —
+            # except a base a concurrent compact_root is still writing
+            pend = _pending_bases(root)
+            live = [d for d in _present_dirs(root) if d not in pend]
         name = f"{EPOCH_PREFIX}{int(epoch_id)}"
         if name not in live:
             live = live + [name]
@@ -203,7 +238,13 @@ def compact_root(
     Safe to run WHILE the stream commits epochs: the fold set is chosen
     and the final swap performed under the manifest lock, and the swap
     re-reads the manifest so epochs registered during the (long) base
-    write are preserved in the new live set."""
+    write are preserved in the new live set. Also safe against a
+    CONCURRENT compact_root or vacuum_root (ADVICE r6): the base name
+    is reserved on disk under the lock (no two compactors share a dir),
+    a ``__pending.`` marker shields the in-flight base from vacuum
+    until the swap, and a compactor whose fold set was swapped away by
+    a faster peer abandons its base (returns None) instead of
+    publishing duplicate rows."""
     with _manifest_lock(root):
         live = live_dirs(root)
         _, ct = read_manifest(root)
@@ -219,22 +260,53 @@ def compact_root(
             # nothing to merge: zero or one dir and it is already a base
             return None
         base_name = _next_base_name(root)
-    # the expensive merge runs OUTSIDE the lock — ingest keeps
-    # committing; the fold set is frozen (folded dirs are immutable)
-    merged = spark.read.parquet(*(os.path.join(root, d) for d in fold))
-    # sever lineage before writing into the tree we just read from
-    # (catalog.compact's overwrite-while-reading pattern)
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(os.path.join(root, base_name))
-    with _manifest_lock(root):
-        # re-read-and-merge: keep every dir registered since the plan
-        now_live, now_ct = read_manifest(root)
-        if now_live is None:
-            now_live = _present_dirs(root)
-        tail = [d for d in now_live if d not in fold and d != base_name]
-        _write_manifest(
-            root, [base_name] + tail, max(through_epoch, now_ct)
-        )
+        # reserve the name UNDER the lock (ADVICE r6): the empty dir
+        # makes a concurrent compactor's _next_base_name scan skip it,
+        # and the pending marker makes vacuum_root spare it while the
+        # merge below runs outside the lock
+        os.makedirs(os.path.join(root, base_name), exist_ok=True)
+        with open(_pending_marker(root, base_name), "w"):
+            pass
+    lost_race = False
+    try:
+        # the expensive merge runs OUTSIDE the lock — ingest keeps
+        # committing; the fold set is frozen (folded dirs are immutable)
+        merged = spark.read.parquet(*(os.path.join(root, d) for d in fold))
+        # sever lineage before writing into the tree we just read from
+        # (catalog.compact's overwrite-while-reading pattern)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(os.path.join(root, base_name))
+        with _manifest_lock(root):
+            # re-read-and-merge: keep every dir registered since the plan
+            now_live, now_ct = read_manifest(root)
+            if now_live is None:
+                pend = _pending_bases(root)
+                now_live = [
+                    d for d in _present_dirs(root) if d not in pend
+                ]
+            if any(d not in now_live for d in fold):
+                # a concurrent compact_root already folded (part of) our
+                # fold set and swapped its base in — publishing ours too
+                # would duplicate those rows in the live set. Keep the
+                # winner's manifest; our base is reclaimed below.
+                lost_race = True
+            else:
+                tail = [
+                    d for d in now_live if d not in fold and d != base_name
+                ]
+                _write_manifest(
+                    root, [base_name] + tail, max(through_epoch, now_ct)
+                )
+    finally:
+        # after the swap the base is live (vacuum keeps it); after a
+        # failed merge the marker's removal lets vacuum reclaim the junk
+        try:
+            os.remove(_pending_marker(root, base_name))
+        except FileNotFoundError:
+            pass
+    if lost_race:
+        shutil.rmtree(os.path.join(root, base_name), ignore_errors=True)
+        return None
     if remove_old:
         vacuum_root(root)
     return base_name
@@ -249,21 +321,36 @@ def vacuum_root(root: str) -> List[str]:
     ``compacted_through``: an id ABOVE the watermark that is not (yet)
     live is an in-flight micro-batch whose data files landed but whose
     ``register_epoch`` commit has not run — deleting it would race the
-    ingest thread. Non-live base dirs are always dead (generation names
-    are never reused while they exist)."""
+    ingest thread. Non-live base dirs are dead UNLESS a
+    ``__pending.<base>`` marker names them (ADVICE r6): that is a
+    concurrent ``compact_root`` mid-merge, between its reservation and
+    its manifest swap — deleting it would publish a manifest pointing
+    at a vanished directory. Generation names are never reused while
+    the dir (or its marker) exists."""
     live, ct = read_manifest(root)
     if live is None:
         return []
     keep = set(live)
+    pending = _pending_bases(root)
     dropped = []
     for d in _present_dirs(root):
         if d in keep:
             continue
+        if d in pending:
+            continue  # in-flight compact_root base: not ours to delete
         eid = _epoch_id(d)
         if eid is not None and eid > ct:
             continue  # uncommitted in-flight epoch: not ours to delete
         shutil.rmtree(os.path.join(root, d))
         dropped.append(d)
+    for b in pending & keep:
+        # compactor crashed between swap and marker removal: the base
+        # is live, the marker is stale — drop it (idempotent vs the
+        # compactor's own finally-removal)
+        try:
+            os.remove(_pending_marker(root, b))
+        except FileNotFoundError:
+            pass
     return dropped
 
 
